@@ -1,0 +1,131 @@
+"""Headline benchmark: car-turn 8-frame 512^2, 50-step DDIM inversion + edit.
+
+Reference baseline (BASELINE.md): 60 s inversion + 40 s editing on an RTX
+3090 (fp16, xformers, attention store in RAM) => 100 s end-to-end. This
+script runs the same workload — full SD-1.4 architecture (randomly
+initialized: weights do not change FLOPs or memory traffic), real attention
+capture to host RAM in bf16, prompt-to-prompt swap edit with CFG — on the
+available accelerator and prints ONE JSON line.
+
+vs_baseline = reference_seconds / ours_seconds (speedup; > 1 means faster
+than the A100/3090 reference).
+
+Environment knobs: BENCH_STEPS (default 50), BENCH_FRAMES (8), BENCH_RES
+(512), BENCH_SAVE_SELF (1).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+STEPS = int(os.environ.get("BENCH_STEPS", 50))
+FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
+RES = int(os.environ.get("BENCH_RES", 512))
+SAVE_SELF = bool(int(os.environ.get("BENCH_SAVE_SELF", 1)))
+BASELINE_S = 100.0  # 60 s inversion + 40 s edit, docs/EditingGuidance.md:74
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: first-ever run pays full XLA compiles (the
+    # remote-compile TPU path is slow), every later run starts warm
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    from fatezero_tpu.models.clip import CLIPTextModel
+    from fatezero_tpu.models.tokenizer import StubTokenizer
+    from fatezero_tpu.models.unet3d import UNet3DConfig, UNetPseudo3DConditionModel
+    from fatezero_tpu.pipelines.fatezero_pipeline import FateZeroPipeline
+    from fatezero_tpu.ptp.controller import make_controller
+    from fatezero_tpu.ptp.store import AttentionStore
+    from __graft_entry__ import _fast_params
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    unet = UNetPseudo3DConditionModel(cfg=UNet3DConfig(), dtype=dtype)
+    lat = RES // 8
+    sample = jnp.zeros((1, FRAMES, lat, lat, 4), jnp.float32)
+    text = jnp.zeros((1, 77, 768), jnp.float32)
+    unet_params = _fast_params(unet, sample, jnp.int32(0), text)
+
+    text_model = CLIPTextModel(dtype=dtype)
+    tokenizer = StubTokenizer()
+    ids = jnp.asarray(tokenizer(["x"]).input_ids)
+    text_params = _fast_params(text_model, ids)
+
+    # VAE is outside the timed section in the reference numbers (the 60s/40s
+    # are the inversion/edit loops); keep the bench on the diffusion loops.
+    pipe = FateZeroPipeline(
+        unet, unet_params, None, None, text_model, text_params, tokenizer
+    )
+
+    source = "a silver jeep driving down a curvy road in the countryside"
+    target = "watercolor painting of a silver jeep driving down a curvy road in the countryside"
+    emb_src = pipe.encode_prompt(source)
+    emb_tgt = pipe.encode_prompt(target)
+
+    latents = jnp.asarray(np.random.RandomState(0).randn(1, FRAMES, lat, lat, 4), jnp.float32)
+    store = AttentionStore()
+
+    # warmup: must use a throwaway store — capture/no-capture are different
+    # jit keys, and the timed run must not pay the capture-variant compile
+    pipe.invert(latents, emb_src, STEPS, store=AttentionStore(), save_self_attention=SAVE_SELF)
+
+    t0 = time.time()
+    traj = pipe.invert(latents, emb_src, STEPS, store=store, save_self_attention=SAVE_SELF)
+    jax.block_until_ready(traj[-1])
+    t_invert = time.time() - t0
+
+    def run_edit():
+        controller = make_controller(
+            tokenizer,
+            [source, target],
+            num_steps=STEPS,
+            is_replace_controller=False,
+            cross_replace_steps=0.8,
+            self_replace_steps=0.8,
+            save_self_attention=SAVE_SELF,
+        )
+        out = pipe.sample(
+            jnp.asarray(traj[-1]),
+            emb_tgt,
+            num_inference_steps=STEPS,
+            guidance_scale=7.5,
+            controller=controller,
+            inv_store=store,
+            inverted_latents=traj[1:],
+        )
+        jax.block_until_ready(out)
+        return out
+
+    run_edit()  # warmup: compiles the (<=2) edit-step variants
+    t0 = time.time()
+    run_edit()
+    t_edit = time.time() - t0
+
+    total = t_invert + t_edit
+    scale = (50 / STEPS) * (8 / FRAMES) * (512 / RES) ** 2  # normalize if reduced
+    result = {
+        "metric": f"car-turn {FRAMES}f {RES}^2 {STEPS}-step inversion+edit wall-clock",
+        "value": round(total, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / (total * scale), 3),
+        "detail": {
+            "invert_s": round(t_invert, 2),
+            "edit_s": round(t_edit, 2),
+            "backend": jax.default_backend(),
+            "save_self_attention": SAVE_SELF,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

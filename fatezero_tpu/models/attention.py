@@ -1,0 +1,273 @@
+"""Spatio-temporal transformer with SparseCausalAttention (Flax, TPU-native).
+
+Re-design of the reference's attention stack (video_diffusion/models/
+attention.py:31-422) around two statically-chosen execution paths:
+
+  * fused path — Pallas flash attention (TPU) / XLA einsum, used whenever the
+    map is neither stored nor edited (query tokens > 32^2, temporal attention,
+    or no controller attached); the xformers analog of the reference
+    (attention_register.py:112-116).
+  * materialized path — explicit fp32 softmax probabilities reshaped to
+    [b, f, heads, s, kv] and routed through the attention-controller context
+    (ptp/context.py), the functional replacement of the reference's
+    monkey-patched `_attention` (attention_register.py:23-59).
+
+SparseCausalAttention gathers K/V from a static set of frames per query frame
+(default [-1, 'first']) by trace-time index lists (ops/video_ops.py), and the
+per-pixel temporal attention is zero-initialized to the identity
+(attention.py:216-227 of the reference).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fatezero_tpu.ops.flash_attention import fused_attention
+from fatezero_tpu.ops.video_ops import gather_sparse_kv
+from fatezero_tpu.ptp.context import MAX_CONTROLLED_TOKENS, AttnContext
+
+
+def _split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """[B, S, H*D] -> [B*H, S, D]"""
+    b, s, hd = x.shape
+    x = x.reshape(b, s, heads, hd // heads)
+    return x.transpose(0, 2, 1, 3).reshape(b * heads, s, hd // heads)
+
+
+def _merge_heads(x: jax.Array, heads: int) -> jax.Array:
+    """[B*H, S, D] -> [B, S, H*D]"""
+    bh, s, d = x.shape
+    x = x.reshape(bh // heads, heads, s, d)
+    return x.transpose(0, 2, 1, 3).reshape(bh // heads, s, heads * d)
+
+
+class Attention(nn.Module):
+    """Multi-head attention with an optional controller on materialized probs.
+
+    Mirrors diffusers' CrossAttention module parameters (to_q/to_k/to_v/to_out)
+    so 2-D SD checkpoints port 1:1.
+    """
+
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # None => self-attention widths
+    upcast_softmax: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B', S, C]  (B' folds batch*frames for spatial attn)
+        context: Optional[jax.Array] = None,
+        *,
+        video_shape: Optional[Tuple[int, int]] = None,  # (b, f) when controlled
+        attn_ctx: Optional[AttnContext] = None,
+        place: Optional[str] = None,
+        sparse_indices: Optional[Sequence[Union[int, str]]] = None,
+    ) -> jax.Array:
+        inner = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        is_cross = context is not None
+        kv_src = context if is_cross else x
+
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_src)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_src)
+
+        if sparse_indices is not None and not is_cross and video_shape is not None:
+            b, f = video_shape
+            if len(sparse_indices) > 0 and f > 1:
+                s = k.shape[1]
+                k = gather_sparse_kv(k.reshape(b, f, s, inner), sparse_indices, f)
+                v = gather_sparse_kv(v.reshape(b, f, s, inner), sparse_indices, f)
+                k = k.reshape(b * f, -1, inner)
+                v = v.reshape(b * f, -1, inner)
+
+        qh = _split_heads(q, self.heads)
+        kh = _split_heads(k, self.heads)
+        vh = _split_heads(v, self.heads)
+
+        s_q = qh.shape[1]
+        controlled = (
+            attn_ctx is not None
+            and place is not None
+            and s_q <= MAX_CONTROLLED_TOKENS
+            and video_shape is not None
+        )
+        if controlled:
+            b, f = video_shape
+            # materialized fp32 probabilities — these are the semantic payload
+            # the store/editor operates on (attention_register.py:28-51)
+            logits = (
+                jnp.einsum(
+                    "bsd,btd->bst",
+                    qh.astype(jnp.float32),
+                    kh.astype(jnp.float32),
+                )
+                * scale
+            )
+            probs = jax.nn.softmax(logits, axis=-1)
+            kv_len = probs.shape[-1]
+            probs5 = probs.reshape(b, f, self.heads, s_q, kv_len)
+            probs5 = attn_ctx.process(probs5, place, is_cross)
+            probs = probs5.reshape(b * f * self.heads, s_q, kv_len)
+            out = jnp.einsum("bst,btd->bsd", probs, vh.astype(jnp.float32))
+            out = out.astype(self.dtype)
+        else:
+            out = fused_attention(qh, kh, vh, scale)
+
+        out = _merge_heads(out, self.heads)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class SpatioTemporalTransformerBlock(nn.Module):
+    """attn1 (sparse-causal self) -> attn2 (text cross) -> FF -> temporal attn.
+
+    Mirrors reference attention.py:147-337: LayerNorms (no AdaLN in SD-1.x),
+    temporal attention applied after the feed-forward over [b*h*w, f, c] with
+    zero-initialized output projection (residual identity at init).
+    """
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int = 768
+    sparse_indices: Tuple[Union[int, str], ...] = (-1, "first")
+    use_sparse_causal: bool = True
+    temporal_attention: bool = True
+    upcast_softmax: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [(b f), h*w, c]
+        context: jax.Array,  # [(b f), 77, cross_dim] (already frame-tiled)
+        video_shape: Tuple[int, int],
+        attn_ctx: Optional[AttnContext] = None,
+        place: Optional[str] = None,
+    ) -> jax.Array:
+        b, f = video_shape
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            heads=self.heads,
+            dim_head=self.dim_head,
+            upcast_softmax=self.upcast_softmax,
+            dtype=self.dtype,
+            name="attn1",
+        )(
+            h,
+            video_shape=video_shape,
+            attn_ctx=attn_ctx,
+            place=place,
+            sparse_indices=self.sparse_indices if self.use_sparse_causal else None,
+        )
+
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            heads=self.heads,
+            dim_head=self.dim_head,
+            cross_attention_dim=self.cross_attention_dim,
+            upcast_softmax=self.upcast_softmax,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context, video_shape=video_shape, attn_ctx=attn_ctx, place=place)
+
+        from fatezero_tpu.models.layers import FeedForward
+
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        )
+
+        if self.temporal_attention and f > 1:
+            # per-pixel attention over the frame axis (attention.py:327-337)
+            bf, d, c = x.shape
+            xt = x.reshape(b, f, d, c).transpose(0, 2, 1, 3).reshape(b * d, f, c)
+            ht = nn.LayerNorm(dtype=self.dtype, name="norm_temporal")(xt)
+            at = TemporalAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dtype=self.dtype,
+                name="attn_temporal",
+            )(ht)
+            xt = xt + at
+            x = xt.reshape(b, d, f, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
+        return x
+
+
+class TemporalAttention(nn.Module):
+    """Self-attention over frames with zero-init output projection
+    (reference zeroes attn_temporal.to_out: attention.py:224)."""
+
+    heads: int
+    dim_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.heads * self.dim_head
+        scale = self.dim_head**-0.5
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        qh = _split_heads(q, self.heads)
+        kh = _split_heads(k, self.heads)
+        vh = _split_heads(v, self.heads)
+        out = fused_attention(qh, kh, vh, scale)
+        out = _merge_heads(out, self.heads)
+        return nn.Dense(
+            inner, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out"
+        )(out)
+
+
+class SpatioTemporalTransformerModel(nn.Module):
+    """GN -> 1x1 proj_in -> blocks -> 1x1 proj_out + residual, on video tensors
+    (reference attention.py:31-144). Input/output [B, F, H, W, C]."""
+
+    heads: int
+    dim_head: int
+    num_layers: int = 1
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    sparse_indices: Tuple[Union[int, str], ...] = (-1, "first")
+    use_sparse_causal: bool = True
+    temporal_attention: bool = True
+    upcast_softmax: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,  # [B, F, H, W, C]
+        context: jax.Array,  # [B, 77, cross_dim]
+        attn_ctx: Optional[AttnContext] = None,
+        place: Optional[str] = None,
+    ) -> jax.Array:
+        b, f, hh, ww, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        h = nn.GroupNorm(
+            num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(x)
+        h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense
+        h = h.reshape(b * f, hh * ww, inner)
+        ctx_tiled = jnp.repeat(context, f, axis=0)  # [(b f), 77, cross_dim]
+        for i in range(self.num_layers):
+            h = SpatioTemporalTransformerBlock(
+                dim=inner,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                sparse_indices=self.sparse_indices,
+                use_sparse_causal=self.use_sparse_causal,
+                temporal_attention=self.temporal_attention,
+                upcast_softmax=self.upcast_softmax,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, ctx_tiled, (b, f), attn_ctx=attn_ctx, place=place)
+        h = h.reshape(b, f, hh, ww, inner)
+        h = nn.Dense(c, dtype=self.dtype, name="proj_out")(h)
+        return h + residual

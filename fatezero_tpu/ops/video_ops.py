@@ -1,0 +1,112 @@
+"""TPU-idiomatic primitives for pseudo-3D video networks.
+
+Everything operates on channels-last video tensors [B, F, H, W, C] (TPU/XLA's
+preferred layout). The reference's temporal Conv1d over ``(b h w) c f``
+(resnet.py:57-80) is re-expressed as a sum of k frame-shifted matmuls — no
+layout transposes, contraction lands on the MXU, and XLA fuses the adds.
+Frame-gather patterns for SparseCausalAttention are static index lists
+resolved at trace time (models/attention.py:371-398 in the reference).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def temporal_conv(
+    x: jax.Array, w: jax.Array, b: jax.Array | None = None, stride: int = 1
+) -> jax.Array:
+    """Channel-mixing conv over the frame axis as shifted matmuls.
+
+    x: [B, F, H, W, C_in]; w: [k, C_in, C_out] ('same' zero padding, as the
+    reference's nn.Conv1d(padding=k//2)); b: [C_out] or None.
+    Returns [B, F_out, H, W, C_out] with F_out = floor((F + 2*(k//2) - k)/stride) + 1.
+    """
+    k = w.shape[0]
+    pad = k // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    f_out = (x.shape[1] + 2 * pad - k) // stride + 1
+    out = None
+    for j in range(k):
+        xs = jax.lax.slice_in_dim(xp, j, j + stride * (f_out - 1) + 1, stride, axis=1)
+        y = jnp.einsum("bfhwc,cd->bfhwd", xs, w[j].astype(xs.dtype))
+        out = y if out is None else out + y
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def temporal_avgpool(x: jax.Array, kernel: int = 3, stride: int = 2) -> jax.Array:
+    """AvgPool1d over frames, count_include_pad=True (torch default; lora.py:45)."""
+    pad = kernel // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
+    f_out = (x.shape[1] + 2 * pad - kernel) // stride + 1
+    out = None
+    for j in range(kernel):
+        xs = jax.lax.slice_in_dim(xp, j, j + stride * (f_out - 1) + 1, stride, axis=1)
+        out = xs if out is None else out + xs
+    return out / float(kernel)
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x spatial upsample on [B, F, H, W, C]."""
+    x = jnp.repeat(x, 2, axis=2)
+    return jnp.repeat(x, 2, axis=3)
+
+
+def temporal_linear_upsample_2x(x: jax.Array) -> jax.Array:
+    """Linear 2x upsample along frames (torch F.interpolate mode='linear',
+    align_corners=False; reference resnet.py:150-159)."""
+    f = x.shape[1]
+    pos = (np.arange(2 * f) + 0.5) / 2.0 - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, f - 1)
+    hi = np.clip(lo + 1, 0, f - 1)
+    wgt = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+    wgt = jnp.asarray(wgt)[None, :, None, None, None].astype(x.dtype)
+    return x[:, lo] * (1.0 - wgt) + x[:, hi] * wgt
+
+
+def avgpool_2x(x: jax.Array) -> jax.Array:
+    """2x2 spatial average pool, stride 2, on [B, F, H, W, C]."""
+    b, f, h, w, c = x.shape
+    x = x.reshape(b, f, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(3, 5))
+
+
+def sparse_frame_indices(
+    num_frames: int, index_spec: Sequence[Union[int, str]]
+) -> List[np.ndarray]:
+    """Static per-frame KV source indices for SparseCausalAttention.
+
+    Semantics identical to the reference (models/attention.py:371-398):
+    ints are relative offsets clipped to [0, F-1]; 'first'/'last'/'mid' are
+    anchors. Returns one int array of shape [F] per entry.
+    """
+    out = []
+    for index in index_spec:
+        if isinstance(index, str):
+            if index == "first":
+                fi = np.zeros(num_frames, np.int64)
+            elif index == "last":
+                fi = np.full(num_frames, num_frames - 1, np.int64)
+            elif index in ("mid", "middle"):
+                fi = np.full(num_frames, (num_frames - 1) // 2, np.int64)
+            else:
+                raise ValueError(f"unknown frame anchor {index!r}")
+        else:
+            fi = np.clip(np.arange(num_frames) + int(index), 0, num_frames - 1)
+        out.append(fi)
+    return out
+
+
+def gather_sparse_kv(kv: jax.Array, index_spec, num_frames: int) -> jax.Array:
+    """Gather per-frame KV context along the token axis.
+
+    kv: [B, F, S, C] -> [B, F, len(index_spec)*S, C] by concatenating the
+    tokens of each selected source frame (static gather = slices for XLA).
+    """
+    idx_list = sparse_frame_indices(num_frames, index_spec)
+    return jnp.concatenate([kv[:, idx] for idx in idx_list], axis=2)

@@ -1,0 +1,87 @@
+"""Mesh + sharding rules: data / frames (sequence) / tensor parallelism.
+
+The reference has no device parallelism beyond HF-Accelerate DP scaffolding
+(SURVEY.md §2.3); here parallelism is first-class and idiomatic: a
+`jax.sharding.Mesh` with axes
+
+  data   — batch of videos (DP) and the CFG pair,
+  seq    — the frame axis (sequence parallelism; SparseCausalAttention's KV
+           gather of {prev, first} frames becomes an XLA collective-permute /
+           small all-gather over ICI),
+  tensor — attention heads / MLP hidden (megatron-style TP on the dense
+           kernels).
+
+Rules are GSPMD annotations: inputs get `video_spec`, parameters get
+`unet_param_specs`, and XLA's SPMD partitioner inserts the collectives. No
+NCCL-style explicit communication anywhere.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "seq", "tensor")
+
+
+def make_mesh(
+    devices: Optional[Sequence] = None, shape: Optional[Sequence[int]] = None
+) -> Mesh:
+    """Mesh over the given devices; default splits them seq-major.
+
+    shape: (data, seq, tensor); by default (1, n // min(n, 2), min(n, 2)).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        tensor = 2 if n % 2 == 0 and n >= 2 else 1
+        shape = (1, n // tensor, tensor)
+    assert int(np.prod(shape)) == n, f"mesh shape {shape} != {n} devices"
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, AXES)
+
+
+def video_spec() -> P:
+    """[B, F, H, W, C] video/latent tensors: batch over data, frames over seq."""
+    return P("data", "seq")
+
+
+def text_spec() -> P:
+    """[B, 77, C] embeddings: batch over data."""
+    return P("data")
+
+
+def unet_param_specs(params):
+    """Megatron-style TP specs per parameter path.
+
+    qkv / FF-in kernels shard their output dim over 'tensor'; to_out / FF-out
+    kernels shard their input dim; everything else (convs, norms, embeddings)
+    replicates. GSPMD propagates the matching activation shardings.
+    """
+
+    def spec_for(path) -> P:
+        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        leaf = joined.rsplit("/", 1)[-1]
+        if leaf != "kernel":
+            return P()
+        if any(p in joined for p in ("to_q", "to_k", "to_v", "query", "key", "value")):
+            return P(None, "tensor")
+        if "net_0/proj" in joined:
+            return P(None, "tensor")
+        if any(p in joined for p in ("to_out", "out_proj", "proj_attn")):
+            return P("tensor", None)
+        if "net_2" in joined:
+            return P("tensor", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: spec_for(path), params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh according to unet_param_specs."""
+    specs = unet_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

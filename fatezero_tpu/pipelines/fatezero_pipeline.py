@@ -1,0 +1,465 @@
+"""FateZero pipeline: DDIM inversion with attention capture + P2P editing.
+
+The TPU re-architecture of the reference pipeline stack
+(video_diffusion/pipelines/{stable_diffusion,ddim_spatial_temporal,
+p2p_ddim_spatial_temporal}.py). Differences are structural, not semantic:
+
+  * Each diffusion step is one jitted function; the 50-step loop lives in
+    Python so captured attention maps stream device->host every step (the
+    reference's CPU/disk offload, attention_store.py:87-108) while the next
+    step's compute overlaps the copy (dispatch-before-fetch).
+  * Plain sampling (no store/edit) additionally has a fully fused
+    `lax.scan` path with zero host round trips.
+  * All mutable controller state of the reference (step counters, position
+    dicts, running sums) is either trace-time structure (ptp/context.py) or an
+    explicit carry (the edit pass's running cross-map sums ride the step
+    function as device arrays).
+
+Step functions retrace only on static-flag changes (self-replace window
+entry/exit, latent-blend window entry/exit): <= 4 compilations per edit run.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fatezero_tpu.ops import schedule as S
+from fatezero_tpu.ptp.context import EditContext, EditParams, StoreContext
+from fatezero_tpu.ptp.controller import EditController
+from fatezero_tpu.ptp.spatial_blend import apply_latent_blend, blend_mask
+from fatezero_tpu.ptp.store import AttentionStore
+
+VAE_SCALE = 0.18215  # reference p2p_ddim_spatial_temporal.py:96
+
+
+def _blend_maps_16(captured: Dict[str, List], latent_hw: int) -> List:
+    """The mid-resolution cross maps the blenders aggregate.
+
+    The reference takes down_cross[2:4] + up_cross[:3] (spatial_blend.py:78)
+    — which, in full-SD geometry with the <=32^2 store filter, is exactly the
+    five maps at resolution latent/4 ("the 16x16 maps"). Select by that
+    resolution semantics so every UNet geometry works, not just SD-1.4@512.
+    """
+    s_target = (latent_hw // 4) ** 2
+    maps = [m for m in captured["down_cross"] if m.shape[-2] == s_target]
+    maps += [m for m in captured["up_cross"] if m.shape[-2] == s_target]
+    return maps
+
+
+class FateZeroPipeline:
+    """Bundles models + params + schedule; exposes invert / sample / edit."""
+
+    def __init__(
+        self,
+        unet,
+        unet_params,
+        vae,
+        vae_params,
+        text_encoder,
+        text_params,
+        tokenizer,
+        schedule: Optional[S.DiffusionSchedule] = None,
+        store_dtype=jnp.bfloat16,
+    ):
+        self.unet = unet
+        self.unet_params = unet_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.tokenizer = tokenizer
+        self.schedule = schedule if schedule is not None else S.make_schedule()
+        self.store_dtype = store_dtype
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------ text
+    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jax.Array:
+        """[2, 77, C] (uncond, cond) text embeddings (stable_diffusion.py:180-295)."""
+        ids = self.tokenizer([negative_prompt, prompt]).input_ids
+        fwd = self._jit_cache.setdefault(
+            "text",
+            jax.jit(lambda ids: self.text_encoder.apply(self.text_params, ids)),
+        )
+        return fwd(jnp.asarray(ids))
+
+    # ------------------------------------------------------------------- vae
+    def encode_video(self, images, rng: Optional[jax.Array] = None) -> jax.Array:
+        """images [f, h, w, 3] in [-1, 1] -> latents [1, f, h/8, w/8, 4] (scaled)."""
+        enc = self._jit_cache.setdefault(
+            "vae_encode",
+            jax.jit(lambda px: self.vae.apply(self.vae_params, px, method="encode")),
+        )
+        mean, logvar = enc(jnp.asarray(images))
+        z = mean
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
+        return (z * VAE_SCALE)[None]
+
+    def decode_latents(self, latents: jax.Array, chunk: int = 16) -> np.ndarray:
+        """latents [1, f, h, w, 4] -> video [f, 8h, 8w, 3] in [0, 1], decoded in
+        frame chunks (stable_diffusion.py:297-319)."""
+        dec = self._jit_cache.setdefault(
+            "vae_decode",
+            jax.jit(lambda z: self.vae.apply(self.vae_params, z, method="decode")),
+        )
+        frames = latents[0] / VAE_SCALE
+        outs = []
+        for i in range(0, frames.shape[0], chunk):
+            outs.append(np.asarray(dec(frames[i : i + chunk])))
+        video = np.concatenate(outs, axis=0)
+        return np.clip(video / 2.0 + 0.5, 0.0, 1.0)
+
+    # ------------------------------------------------------------- inversion
+    def invert(
+        self,
+        latents: jax.Array,
+        cond_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+        store: Optional[AttentionStore] = None,
+        save_self_attention: bool = True,
+    ) -> List[np.ndarray]:
+        """Clean -> noisy DDIM loop with optional attention capture.
+
+        Matches ddim_clean2noisy_loop (p2p_ddim_spatial_temporal.py:131-148):
+        runs the *conditional* embedding only (no CFG during inversion),
+        walks the timestep grid in reverse, stores every step's maps+latent.
+        Returns the [clean, ...50x noisier] latent trajectory (host copies).
+        """
+        timesteps = S.ddim_timesteps(self.schedule, num_inference_steps)
+        capture = store is not None
+        key = ("invert", num_inference_steps, save_self_attention, capture)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def step(latent, t, cond_emb, params):
+                ctx = (
+                    StoreContext(
+                        save_self_attention=save_self_attention,
+                        store_dtype=self.store_dtype,
+                    )
+                    if capture
+                    else None
+                )
+                eps = self.unet.apply(params, latent, t, cond_emb, attn_ctx=ctx)
+                new_latent = S.ddim_invert_step(
+                    self.schedule, eps, t, latent, num_inference_steps
+                )
+                return new_latent, ctx.captured if capture else {}
+
+            self._jit_cache[key] = step
+        step_fn = self._jit_cache[key]
+
+        cond = cond_embeddings[-1:]  # cond half only
+        all_latents = [np.asarray(latents)]
+        latent = latents
+        pending = None  # (captured, latent) awaiting host fetch
+        for i in range(num_inference_steps):
+            t = jnp.int32(timesteps[num_inference_steps - i - 1])
+            latent, captured = step_fn(latent, t, cond, self.unet_params)
+            # fetch the previous step's results while this one computes
+            if pending is not None:
+                if store is not None:
+                    store.append_step(*pending)
+                all_latents.append(np.asarray(pending[1]))
+            pending = (captured, latent)
+        if pending is not None:
+            if store is not None:
+                store.append_step(*pending)
+            all_latents.append(np.asarray(pending[1]))
+        return all_latents
+
+    # ------------------------------------------------------------- sampling
+    def sample_fast(
+        self,
+        latents: jax.Array,
+        text_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+    ) -> jax.Array:
+        """Fused lax.scan denoising loop (no store, no edit): the pure-speed
+        path for plain generation/reconstruction."""
+        key = ("scan", num_inference_steps)
+        if key not in self._jit_cache:
+            timesteps = jnp.asarray(
+                S.ddim_timesteps(self.schedule, num_inference_steps), jnp.int32
+            )
+
+            @jax.jit
+            def run(latent, text_emb, guidance, params):
+                def body(lat, t):
+                    lat_in = jnp.concatenate([lat, lat], axis=0)
+                    eps = self.unet.apply(params, lat_in, t, text_emb)
+                    eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
+                    lat = S.ddim_denoise_step(
+                        self.schedule, eps, t, lat, num_inference_steps
+                    )
+                    return lat, None
+
+                lat, _ = jax.lax.scan(body, latent, timesteps)
+                return lat
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](
+            latents, text_embeddings, jnp.float32(guidance_scale), self.unet_params
+        )
+
+    def sample(
+        self,
+        latents: jax.Array,
+        text_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        controller: Optional[EditController] = None,
+        inv_store: Optional[AttentionStore] = None,
+        edit_store: Optional[AttentionStore] = None,
+        inverted_latents: Optional[List[np.ndarray]] = None,
+    ) -> jax.Array:
+        """Noisy -> clean CFG denoising (sd_ddim_pipeline,
+        p2p_ddim_spatial_temporal.py:260-435).
+
+        controller=None: plain loop; pass edit_store to capture maps (the
+        reference's edit_type='save'). controller=EditController: prompt-to-
+        prompt editing consuming inv_store (edit_type='swap').
+        """
+        timesteps = S.ddim_timesteps(self.schedule, num_inference_steps)
+        latent = latents
+
+        if controller is None:
+            if edit_store is None:
+                return self.sample_fast(
+                    latents, text_embeddings, num_inference_steps, guidance_scale
+                )
+            step_fn = self._save_step(num_inference_steps)
+            pending = None
+            for i in range(num_inference_steps):
+                t = jnp.int32(timesteps[i])
+                latent, captured = step_fn(
+                    latent, t, text_embeddings, jnp.float32(guidance_scale), self.unet_params
+                )
+                if pending is not None:
+                    edit_store.append_step(*pending)
+                pending = (captured, latent)
+            edit_store.append_step(*pending)
+            return latent
+
+        assert inv_store is not None, "editing requires the inversion attention store"
+        num_stored = len(inv_store.attention_store_all_step)
+        blend_sums = None  # running cross-map sums carried on device
+        attn_alpha = (
+            jnp.asarray(controller.attention_blend.alpha_layers[:1])
+            if controller.attention_blend is not None
+            else None
+        )
+        latent_alpha = (
+            jnp.asarray(controller.latent_blend.alpha_layers)
+            if controller.latent_blend is not None
+            else None
+        )
+        for i in range(num_inference_steps):
+            t = jnp.int32(timesteps[i])
+            idx = controller.step_in_store(i, num_stored)
+            injected = jax.tree.map(jnp.asarray, inv_store.step_maps(idx))
+
+            blend_now = (
+                controller.latent_blend is not None
+                and controller.latent_blend.latent_blend_active(i)
+            )
+            inv_latent = None
+            if controller.latent_blend is not None:
+                lat_idx = (
+                    len(inverted_latents) - 1 - i
+                    if controller.use_inversion_attention
+                    else i + 1
+                )
+                inv_latent = jnp.asarray(inverted_latents[lat_idx])
+            if blend_sums is None and controller.latent_blend is not None:
+                blend_sums = [
+                    jnp.zeros(m.shape, jnp.float32)
+                    for m in _blend_maps_16(injected, latents.shape[2])
+                ]
+            step_fn = self._edit_step(
+                num_steps=num_inference_steps,
+                self_active=controller.self_replace_active(i),
+                cross_kind=controller.cross_edit_kind,
+                use_attn_blend=controller.attention_blend is not None,
+                use_latent_blend=controller.latent_blend is not None,
+                blend_now=blend_now,
+                save_self=controller.save_self_attention,
+                attn_th=controller.attention_blend.th[0]
+                if controller.attention_blend is not None
+                else 0.3,
+                latent_th=controller.latent_blend.th[0]
+                if controller.latent_blend is not None
+                else 0.3,
+            )
+            latent, captured, blend_sums, masks = step_fn(
+                latent,
+                t,
+                text_embeddings,
+                jnp.float32(guidance_scale),
+                injected,
+                controller.alpha_words(i),
+                None if controller.mapper is None else jnp.asarray(controller.mapper),
+                None
+                if controller.refine_mapper is None
+                else jnp.asarray(controller.refine_mapper),
+                None
+                if controller.refine_alphas is None
+                else jnp.asarray(controller.refine_alphas),
+                None if controller.equalizer is None else jnp.asarray(controller.equalizer),
+                blend_sums,
+                inv_latent,
+                attn_alpha,
+                latent_alpha,
+                self.unet_params,
+            )
+            if edit_store is not None:
+                edit_store.append_step(captured, latent)
+            if controller.attention_blend is not None and masks["attention_blend"] is not None:
+                controller.attention_blend.counter += 1
+                controller.attention_blend.record(
+                    np.asarray(masks["attention_blend"]), f"step{i:03d}"
+                )
+            if controller.latent_blend is not None and masks["latent_blend"] is not None:
+                controller.latent_blend.counter += 1
+                controller.latent_blend.record(
+                    np.asarray(masks["latent_blend"]), f"step{i:03d}"
+                )
+        return latent
+
+    # ------------------------------------------------------------ jit steps
+    def _save_step(self, num_steps: int):
+        key = ("save_step", num_steps)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def step(latent, t, text_emb, guidance, params):
+                ctx = StoreContext(store_dtype=self.store_dtype)
+                lat_in = jnp.concatenate([latent, latent], axis=0)
+                eps = self.unet.apply(params, lat_in, t, text_emb, attn_ctx=ctx)
+                eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
+                new_latent = S.ddim_denoise_step(self.schedule, eps, t, latent, num_steps)
+                return new_latent, ctx.captured
+
+            self._jit_cache[key] = step
+        return self._jit_cache[key]
+
+    def _edit_step(
+        self,
+        num_steps: int,
+        self_active: bool,
+        cross_kind: str,
+        use_attn_blend: bool,
+        use_latent_blend: bool,
+        blend_now: bool,
+        save_self: bool,
+        attn_th: float,
+        latent_th: float,
+    ):
+        key = (
+            "edit",
+            num_steps,
+            self_active,
+            cross_kind,
+            use_attn_blend,
+            use_latent_blend,
+            blend_now,
+            save_self,
+            attn_th,
+            latent_th,
+        )
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def step(
+                latent,
+                t,
+                text_emb,
+                guidance,
+                injected,
+                alpha_words,
+                mapper,
+                refine_mapper,
+                refine_alphas,
+                equalizer,
+                blend_sums,
+                inv_latent,
+                attn_alpha,
+                latent_alpha,
+                params,
+            ):
+                self_masks = None
+                mask_viz = None
+                if use_attn_blend:
+                    # per-resolution masks from the inversion step's mid-res
+                    # cross maps, source prompt only (attention_util.py:136-151)
+                    maps16 = [
+                        m.astype(jnp.float32)
+                        for m in _blend_maps_16(injected, latent.shape[2])
+                    ]
+                    f = maps16[0].shape[1]
+                    self_masks = {}
+                    s_set = sorted(
+                        {
+                            int(m.shape[-2])
+                            for k in ("down_self", "mid_self", "up_self")
+                            for m in injected[k]
+                        }
+                    )
+                    for s in s_set:
+                        r = int(np.sqrt(s))
+                        mask = blend_mask(maps16, attn_alpha, (r, r), attn_th)
+                        # [1, f, r, r] -> [f, 1, s, 1]
+                        self_masks[s] = mask[0].reshape(f, 1, s, 1)
+                    r_max = int(np.sqrt(max(s_set)))
+                    mask_viz = self_masks[max(s_set)].reshape(1, f, r_max, r_max)
+                ep = EditParams(
+                    cross_edit_kind=cross_kind,
+                    mapper=mapper,
+                    refine_mapper=refine_mapper,
+                    refine_alphas=refine_alphas,
+                    equalizer=equalizer,
+                    self_replace_active=self_active,
+                    self_masks=self_masks,
+                    save_self_attention=save_self,
+                )
+                ctx = EditContext(
+                    injected=injected,
+                    params=ep,
+                    alpha_words=alpha_words,
+                    store_dtype=self.store_dtype,
+                )
+                lat_in = jnp.concatenate([latent, latent], axis=0)
+                eps = self.unet.apply(params, lat_in, t, text_emb, attn_ctx=ctx)
+                eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
+                new_latent = S.ddim_denoise_step(self.schedule, eps, t, latent, num_steps)
+
+                masks_out = {"attention_blend": mask_viz, "latent_blend": None}
+                new_sums = blend_sums
+                if use_latent_blend:
+                    live16 = [
+                        m.astype(jnp.float32)
+                        for m in _blend_maps_16(ctx.captured, latent.shape[2])
+                    ]
+                    new_sums = [s + m for s, m in zip(blend_sums, live16)]
+                    # p=2 rows: [inversion-step map; edit-pass running sum]
+                    pair = [
+                        jnp.concatenate([im.astype(jnp.float32), sm], axis=0)
+                        for im, sm in zip(
+                            _blend_maps_16(injected, latent.shape[2]), new_sums
+                        )
+                    ]
+                    hw = new_latent.shape[2:4]
+                    lmask = blend_mask(pair, latent_alpha, hw, latent_th)
+                    lmask = jnp.maximum(lmask[:1], lmask)  # union ('both')
+                    masks_out["latent_blend"] = lmask
+                    if blend_now:
+                        new_latent = apply_latent_blend(new_latent, inv_latent, lmask)
+                return new_latent, ctx.captured, new_sums, masks_out
+
+            self._jit_cache[key] = step
+        return self._jit_cache[key]

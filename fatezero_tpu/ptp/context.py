@@ -1,0 +1,204 @@
+"""Functional attention-controller contexts: the TPU re-architecture of FateZero's hooks.
+
+The reference attaches its attention store/editor by monkey-patching the
+forward of all 32 attention modules and mutating Python counters as side
+effects of the UNet forward (reference: attention_register.py:235-258,
+attention_store.py:38-60, attention_util.py:98-171). Under JAX that control
+flow is re-architected as *trace-time* context objects:
+
+  * A context is a plain Python object handed to the UNet's ``__call__``.
+    Every controlled attention site calls ``ctx.process(probs, place,
+    is_cross)`` with its materialized fp32 probability map. The per-key
+    position counters of the reference become trace-time list appends — the
+    traced graph is pure; ordering is the static traversal order of the UNet.
+  * ``StoreContext`` captures maps (inversion / 'save' edit type): the maps
+    come back to the caller as an output pytree ``ctx.captured`` and are
+    streamed to the host by the pipeline.
+  * ``EditContext`` consumes the inversion maps for the current step
+    (``injected``) plus pure edit parameters (``EditParams``) and rewrites the
+    conditional half of each map: prompt-to-prompt cross-attention
+    replace/refine/reweight and mask-gated self-attention swap
+    (reference semantics: attention_util.py:80-158).
+
+Shapes: every controlled map is [b, f, heads, s, kv] where b=1 during
+inversion (no CFG, reference LOW_RESOURCE=True) and b=2 (uncond, cond) during
+CFG editing; only the cond half is stored/edited (attention_store.py:38-49).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+# Store keying identical to the reference (attention_store.py:71-79).
+STORE_KEYS = ("down_cross", "mid_cross", "up_cross", "down_self", "mid_self", "up_self")
+CROSS_KEYS = ("down_cross", "mid_cross", "up_cross")
+
+# Maps with more query tokens than this are never stored or edited
+# (attention_store.py:83, attention_register.py:112).
+MAX_CONTROLLED_TOKENS = 32 * 32
+
+
+def store_key(place: str, is_cross: bool) -> str:
+    return f"{place}_{'cross' if is_cross else 'self'}"
+
+
+class AttnContext:
+    """Interface each controlled attention site calls. Base = no-op."""
+
+    def process(self, probs: jax.Array, place: str, is_cross: bool) -> jax.Array:
+        """probs: [b, f, heads, s, kv] fp32. Returns (possibly edited) probs."""
+        return probs
+
+
+NoopContext = AttnContext
+
+
+class StoreContext(AttnContext):
+    """Capture controlled maps in reference order (inversion & 'save' edit type).
+
+    ``captured[key][pos]`` mirrors the reference's ``step_store`` layout
+    (attention_store.py:81-93). Arrays are cast to ``store_dtype`` so the
+    host offload stream stays small (reference stores fp16 on CPU).
+    """
+
+    def __init__(self, save_self_attention: bool = True, store_dtype=jnp.bfloat16):
+        self.save_self_attention = save_self_attention
+        self.store_dtype = store_dtype
+        self.captured: Dict[str, List[jax.Array]] = {k: [] for k in STORE_KEYS}
+
+    def _maybe_store(self, probs: jax.Array, place: str, is_cross: bool) -> None:
+        if probs.shape[-2] <= MAX_CONTROLLED_TOKENS and (
+            is_cross or self.save_self_attention
+        ):
+            # store the conditional batch element only (b is 1 at inversion;
+            # under CFG the reference stores the cond half: attention_store.py:46)
+            cond = probs[-1:] if probs.shape[0] > 1 else probs
+            self.captured[store_key(place, is_cross)].append(
+                cond.astype(self.store_dtype)
+            )
+
+    def process(self, probs, place, is_cross):
+        self._maybe_store(probs, place, is_cross)
+        return probs
+
+
+@dataclasses.dataclass
+class EditParams:
+    """Pure, per-step parameters of the prompt-to-prompt edit.
+
+    Static python fields select the traced graph (one retrace per variant);
+    array fields are traced inputs, so the per-step alpha schedule does NOT
+    retrace.
+    """
+
+    # one of 'replace' | 'refine' — equal word count chooses replace
+    # (p2p_ddim_spatial_temporal.py:176-184)
+    cross_edit_kind: str
+    # replace: [n_target=1, 77, 77] soft permutation (seq_aligner.py:152-195)
+    mapper: Optional[jax.Array] = None
+    # refine: int mapper [1, 77] + alphas [1, 77] (seq_aligner.py:107-128)
+    refine_mapper: Optional[jax.Array] = None
+    refine_alphas: Optional[jax.Array] = None
+    # reweight chained on top (attention_util.py:282-286): [1, 77] or None
+    equalizer: Optional[jax.Array] = None
+    # static: is the self-attention swap active at this step
+    # (attention_util.py:124: num_self_replace window)
+    self_replace_active: bool = True
+    # per-resolution blend masks for the self swap, {s_tokens: [f, 1, s, 1]}
+    # (attention_util.py:136-151); None disables masking
+    self_masks: Optional[Dict[int, jax.Array]] = None
+    # store the live (pre-edit) cond self maps too (needed for parity with
+    # reference edit-pass store; big — configurable)
+    save_self_attention: bool = True
+
+
+def replace_cross(
+    attn_base: jax.Array, attn_replace: jax.Array, params: EditParams
+) -> jax.Array:
+    """Prompt-to-prompt cross-attention rewrite (attention_util.py:211-305).
+
+    attn_base: [f, h, s, 77] inversion map; attn_replace: [b=1, f, h, s, 77].
+    """
+    if params.cross_edit_kind == "replace":
+        new = jnp.einsum("fhsw,bwn->bfhsn", attn_base, params.mapper)
+    elif params.cross_edit_kind == "refine":
+        gathered = attn_base[..., params.refine_mapper[0]]  # [f, h, s, 77]
+        alphas = params.refine_alphas[0]  # [77]
+        new = (gathered * alphas + attn_replace[0] * (1.0 - alphas))[None]
+    else:
+        raise ValueError(params.cross_edit_kind)
+    if params.equalizer is not None:
+        # Reweight wraps replace/refine output (attention_util.py:282-286):
+        # the reference multiplies the *base-derived* map by the equalizer.
+        new = new * params.equalizer[:, None, None, None, :]
+    return new
+
+
+def replace_self(
+    attn_base: jax.Array, attn_replace: jax.Array, mask: Optional[jax.Array]
+) -> jax.Array:
+    """Self-attention swap, optionally gated by the spatial blend mask.
+
+    attn_base: [f, h, s, kv]; attn_replace: [b=1, f, h, s, kv];
+    mask: [f, 1, s, 1] with 1 = keep target (live), 0 = use source (inverted)
+    (attention_util.py:80-92,134-151).
+    """
+    base = attn_base[None]
+    if mask is None:
+        return jnp.broadcast_to(base, attn_replace.shape)
+    return mask[None] * attn_replace + (1.0 - mask[None]) * base
+
+
+class EditContext(StoreContext):
+    """Consume inversion maps + edit params; rewrite the cond half of each map.
+
+    ``injected[key][pos]`` are the inversion-step maps (shape [1, f, h, s, kv])
+    in the same layout StoreContext produced them. Position counters are
+    trace-time (the reference's attention_position_counter_dict,
+    attention_util.py:98-120, resolved statically).
+    """
+
+    def __init__(
+        self,
+        injected: Dict[str, List[jax.Array]],
+        params: EditParams,
+        alpha_words: jax.Array,
+        store_dtype=jnp.bfloat16,
+    ):
+        super().__init__(
+            save_self_attention=params.save_self_attention, store_dtype=store_dtype
+        )
+        self.injected = injected
+        self.params = params
+        self.alpha_words = alpha_words
+        self._pos = {k: 0 for k in STORE_KEYS}
+
+    def process(self, probs, place, is_cross):
+        # Pre-edit capture of the cond half, as the reference does
+        # (attention_util.py:103 calls AttentionStore.forward first).
+        self._maybe_store(probs, place, is_cross)
+        if probs.shape[-2] > MAX_CONTROLLED_TOKENS:
+            return probs
+        key = store_key(place, is_cross)
+        pos = self._pos[key]
+        self._pos[key] = pos + 1
+        attn_base = self.injected[key][pos]  # [1, f, h, s, kv] (stored layout)
+        attn_base = attn_base[0].astype(probs.dtype)  # [f, h, s, kv]
+
+        uncond, cond = probs[:-1], probs[-1:]  # cond half under CFG
+        if is_cross:
+            new = replace_cross(attn_base, cond, self.params)
+            # time/word schedule mix (attention_util.py:129-132)
+            aw = self.alpha_words  # [1, 1, 1, 77] -> broadcasts over [1,f,h,s,77]
+            cond = new * aw + (1.0 - aw) * cond
+        elif self.params.self_replace_active:
+            mask = None
+            if self.params.self_masks is not None:
+                mask = self.params.self_masks.get(probs.shape[-2])
+            cond = replace_self(attn_base, cond, mask)
+        if uncond.shape[0] == 0:
+            return cond
+        return jnp.concatenate([uncond, cond], axis=0)

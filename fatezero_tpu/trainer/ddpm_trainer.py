@@ -1,0 +1,199 @@
+"""One-shot Tune-A-Video fine-tuning (optax), reference trainer parity.
+
+TPU-native equivalent of video_diffusion/trainer/ddpm_trainer.py:21-175 and
+the training wiring of train_tune_a_video.py:49-416:
+
+  * only parameters matching ("attn_temporal", ".to_q") — plus the temporal
+    convs when `train_temporal_conv` — receive updates
+    (train_tune_a_video.py:153-159), via optax.masked;
+  * loss = MSE between the UNet prediction and epsilon (or velocity) on
+    VAE-encoded, noised video latents (ddpm_trainer.py:60-94);
+  * optional prior-preservation branch on class images
+    (ddpm_trainer.py:113-175);
+  * AdamW + grad clip + the diffusers LR-schedule family; bf16-ready; remat
+    handled by the UNet's block-level nn.remat flag.
+
+bitsandbytes 8-bit Adam has no TPU equivalent need: optax.adamw states live
+in HBM; `use_8bit_adam` maps to optax.adafactor as the memory-lean option.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from fatezero_tpu.ops import schedule as S
+from fatezero_tpu.pipelines.fatezero_pipeline import VAE_SCALE
+
+
+def trainable_mask(params, patterns=("attn_temporal", "to_q"), train_temporal_conv=False):
+    """Boolean pytree: True where the param path matches the trainable set."""
+    pats = list(patterns)
+    if train_temporal_conv:
+        pats += ["conv_temporal", "lora_temporal"]
+
+    def match(path) -> bool:
+        joined = "/".join(str(getattr(k, "key", k)) for k in path)
+        return any(p in joined for p in pats)
+
+    return jax.tree_util.tree_map_with_path(lambda path, _: match(path), params)
+
+
+def make_lr_schedule(
+    name: str,
+    learning_rate: float,
+    train_steps: int,
+    warmup_steps: int = 0,
+    num_cycles: float = 0.5,
+    power: float = 1.0,
+):
+    """The diffusers get_scheduler family (train_tune_a_video.py:60-76)."""
+    warmup = optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1))
+    rest = max(train_steps - warmup_steps, 1)
+    if name in ("constant", "constant_with_warmup"):
+        main = optax.constant_schedule(learning_rate)
+    elif name == "linear":
+        main = optax.linear_schedule(learning_rate, 0.0, rest)
+    elif name == "cosine":
+        main = optax.cosine_decay_schedule(learning_rate, rest, alpha=0.0)
+    elif name == "cosine_with_restarts":
+        n = max(int(num_cycles), 1)
+        per = max(rest // n, 1)
+        main = optax.join_schedules(
+            [optax.cosine_decay_schedule(learning_rate, per) for _ in range(n)],
+            [per * (i + 1) for i in range(n - 1)],
+        )
+    elif name == "polynomial":
+        main = optax.polynomial_schedule(learning_rate, 0.0, power, rest)
+    else:
+        raise ValueError(f"unknown lr scheduler {name!r}")
+    if warmup_steps > 0:
+        return optax.join_schedules([warmup, main], [warmup_steps])
+    return main
+
+
+class DDPMTrainer:
+    """Holds models + optimizer; `step(state, batch, rng)` is one jitted update."""
+
+    def __init__(
+        self,
+        unet,
+        vae,
+        vae_params,
+        text_encoder,
+        text_params,
+        schedule: Optional[S.DiffusionSchedule] = None,
+        learning_rate: float = 3e-5,
+        lr_scheduler: str = "constant",
+        lr_warmup_steps: int = 0,
+        train_steps: int = 300,
+        max_grad_norm: float = 1.0,
+        train_temporal_conv: bool = False,
+        use_8bit_adam: bool = False,  # -> adafactor (memory-lean optax analog)
+        prediction_type: str = "epsilon",
+        prior_preservation: Optional[float] = None,
+        weight_decay: float = 1e-2,
+    ):
+        self.unet = unet
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.text_params = text_params
+        self.schedule = schedule if schedule is not None else S.make_schedule(
+            prediction_type=prediction_type
+        )
+        self.prior_preservation = prior_preservation
+        self.train_temporal_conv = train_temporal_conv
+        lr = make_lr_schedule(lr_scheduler, learning_rate, train_steps, lr_warmup_steps)
+        if use_8bit_adam:
+            inner = optax.adafactor(learning_rate=lr)
+        else:
+            inner = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+        self.tx_inner = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
+        self._step_fn = None
+
+    def init_state(self, unet_params) -> Dict[str, Any]:
+        mask = trainable_mask(
+            unet_params, train_temporal_conv=self.train_temporal_conv
+        )
+        self.tx = optax.masked(self.tx_inner, mask)
+        return {
+            "params": unet_params,
+            "opt_state": self.tx.init(unet_params),
+            "step": 0,
+        }
+
+    # ------------------------------------------------------------------ loss
+    def _loss(self, params, latents, text_emb, noise, t):
+        noisy = S.add_noise(self.schedule, latents, noise, t)
+        pred = self.unet.apply(params, noisy, t, text_emb)
+        if self.schedule.prediction_type == "epsilon":
+            target = noise
+        elif self.schedule.prediction_type == "v_prediction":
+            target = S.get_velocity(self.schedule, latents, noise, t)
+        else:
+            raise ValueError(self.schedule.prediction_type)
+        return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+    def _make_step(self):
+        @jax.jit
+        def train_step(state, images, text_emb, rng, class_images, class_text_emb):
+            rng_t, rng_n, rng_vae, rng2 = jax.random.split(rng, 4)
+
+            def encode(px):
+                mean, logvar = self.vae.apply(self.vae_params, px, method="encode")
+                z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    rng_vae, mean.shape, mean.dtype
+                )
+                return z * VAE_SCALE
+
+            latents = encode(images)[None]  # [1, f, h, w, 4]
+            t = jax.random.randint(
+                rng_t, (1,), 0, self.schedule.num_train_timesteps
+            )
+            noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+
+            def total_loss(p):
+                loss = self._loss(p, latents, text_emb, noise, t)
+                if self.prior_preservation is not None and class_images is not None:
+                    # 2-D regularization branch (ddpm_trainer.py:113-175)
+                    lat2 = encode(class_images)[:, None]  # [b, 1, h, w, 4]
+                    t2 = jax.random.randint(
+                        rng2, (lat2.shape[0],), 0, self.schedule.num_train_timesteps
+                    )
+                    n2 = jax.random.normal(rng2, lat2.shape, lat2.dtype)
+                    loss2 = self._loss(p, lat2, class_text_emb, n2, t2)
+                    loss = loss + self.prior_preservation * loss2
+                return loss
+
+            loss, grads = jax.value_and_grad(total_loss)(state["params"])
+            updates, opt_state = self.tx.update(
+                grads, state["opt_state"], state["params"]
+            )
+            params = optax.apply_updates(state["params"], updates)
+            new_state = {
+                "params": params,
+                "opt_state": opt_state,
+                "step": state["step"] + 1,
+            }
+            return new_state, loss
+
+        return train_step
+
+    def step(
+        self,
+        state,
+        images,
+        text_emb,
+        rng,
+        class_images=None,
+        class_text_emb=None,
+    ) -> Tuple[Dict[str, Any], jax.Array]:
+        """One update. images [f,h,w,3] in [-1,1]; text_emb [1,77,C] (cond)."""
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        return self._step_fn(state, images, text_emb, rng, class_images, class_text_emb)
