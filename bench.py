@@ -4,14 +4,21 @@ Reference baseline (BASELINE.md): 60 s inversion + 40 s editing on an RTX
 3090 (fp16, xformers, attention store in RAM) => 100 s end-to-end. This
 script runs the same workload — full SD-1.4 architecture (randomly
 initialized: weights do not change FLOPs or memory traffic), real attention
-capture to host RAM in bf16, prompt-to-prompt swap edit with CFG — on the
-available accelerator and prints ONE JSON line.
+semantics, prompt-to-prompt swap edit with CFG — on the available
+accelerator and prints ONE JSON line.
+
+Default mode 'fused' is the TPU-native design: inversion is one lax.scan
+producing only the latent trajectory; the edit is one lax.scan that replays
+each inversion step's UNet forward on-device to rematerialize its attention
+maps (identical values to a store, zero host traffic — the reference's
+100 GB host store trades away as pure MXU FLOPs). BENCH_MODE=stream runs the
+reference-shaped streaming store path instead.
 
 vs_baseline = reference_seconds / ours_seconds (speedup; > 1 means faster
 than the A100/3090 reference).
 
 Environment knobs: BENCH_STEPS (default 50), BENCH_FRAMES (8), BENCH_RES
-(512), BENCH_SAVE_SELF (1).
+(512), BENCH_MODE (fused|stream), BENCH_SAVE_SELF (1, stream mode only).
 """
 from __future__ import annotations
 
@@ -24,6 +31,7 @@ import numpy as np
 STEPS = int(os.environ.get("BENCH_STEPS", 50))
 FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
 RES = int(os.environ.get("BENCH_RES", 512))
+MODE = os.environ.get("BENCH_MODE", "fused")
 SAVE_SELF = bool(int(os.environ.get("BENCH_SAVE_SELF", 1)))
 BASELINE_S = 100.0  # 60 s inversion + 40 s edit, docs/EditingGuidance.md:74
 
@@ -72,19 +80,9 @@ def main() -> None:
     emb_tgt = pipe.encode_prompt(target)
 
     latents = jnp.asarray(np.random.RandomState(0).randn(1, FRAMES, lat, lat, 4), jnp.float32)
-    store = AttentionStore()
 
-    # warmup: must use a throwaway store — capture/no-capture are different
-    # jit keys, and the timed run must not pay the capture-variant compile
-    pipe.invert(latents, emb_src, STEPS, store=AttentionStore(), save_self_attention=SAVE_SELF)
-
-    t0 = time.time()
-    traj = pipe.invert(latents, emb_src, STEPS, store=store, save_self_attention=SAVE_SELF)
-    jax.block_until_ready(traj[-1])
-    t_invert = time.time() - t0
-
-    def run_edit():
-        controller = make_controller(
+    def controller():
+        return make_controller(
             tokenizer,
             [source, target],
             num_steps=STEPS,
@@ -93,22 +91,51 @@ def main() -> None:
             self_replace_steps=0.8,
             save_self_attention=SAVE_SELF,
         )
-        out = pipe.sample(
-            jnp.asarray(traj[-1]),
-            emb_tgt,
-            num_inference_steps=STEPS,
-            guidance_scale=7.5,
-            controller=controller,
-            inv_store=store,
-            inverted_latents=traj[1:],
-        )
-        jax.block_until_ready(out)
-        return out
 
-    run_edit()  # warmup: compiles the (<=2) edit-step variants
-    t0 = time.time()
-    run_edit()
-    t_edit = time.time() - t0
+    if MODE == "fused":
+        # warmups compile the two scans
+        traj = pipe.invert_fast(latents, emb_src, STEPS)
+        jax.block_until_ready(traj)
+        t0 = time.time()
+        traj = pipe.invert_fast(latents, emb_src, STEPS)
+        jax.block_until_ready(traj)
+        t_invert = time.time() - t0
+
+        out, _ = pipe.edit_fast(traj, emb_src, emb_tgt, controller(), STEPS)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        out, _ = pipe.edit_fast(traj, emb_src, emb_tgt, controller(), STEPS)
+        jax.block_until_ready(out)
+        t_edit = time.time() - t0
+    else:
+        # reference-shaped streaming store path
+        # warmup: must use a throwaway store — capture/no-capture are
+        # different jit keys
+        pipe.invert(latents, emb_src, STEPS, store=AttentionStore(), save_self_attention=SAVE_SELF)
+
+        store = AttentionStore()
+        t0 = time.time()
+        traj = pipe.invert(latents, emb_src, STEPS, store=store, save_self_attention=SAVE_SELF)
+        jax.block_until_ready(traj[-1])
+        t_invert = time.time() - t0
+
+        def run_edit():
+            out = pipe.sample(
+                jnp.asarray(traj[-1]),
+                emb_tgt,
+                num_inference_steps=STEPS,
+                guidance_scale=7.5,
+                controller=controller(),
+                inv_store=store,
+                inverted_latents=traj[1:],
+            )
+            jax.block_until_ready(out)
+            return out
+
+        run_edit()  # warmup: compiles the (<=2) edit-step variants
+        t0 = time.time()
+        run_edit()
+        t_edit = time.time() - t0
 
     total = t_invert + t_edit
     scale = (50 / STEPS) * (8 / FRAMES) * (512 / RES) ** 2  # normalize if reduced
@@ -121,7 +148,7 @@ def main() -> None:
             "invert_s": round(t_invert, 2),
             "edit_s": round(t_edit, 2),
             "backend": jax.default_backend(),
-            "save_self_attention": SAVE_SELF,
+            "mode": MODE,
         },
     }
     print(json.dumps(result))

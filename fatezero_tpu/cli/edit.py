@@ -1,0 +1,172 @@
+"""Zero-shot video-edit entry point: `python test_fatezero.py --config X.yaml`.
+
+Consumes the reference YAML schema unchanged (SURVEY.md §2.4; reference
+test_fatezero.py:46-286): dataset_config / editing_config (with
+`use_invertion_latents` [sic], per-prompt `p2p_config.<i>` blocks) /
+model_config / seed, and writes the same result layout (input gif, per-prompt
+gif+mp4+frame folder, grid, config snapshot) into a timestamped logdir.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fatezero_tpu.common.config import load_config, save_config
+from fatezero_tpu.common.image_util import save_gif_mp4_folder_type
+from fatezero_tpu.data.dataset import ImageSequenceDataset
+from fatezero_tpu.models.loader import load_models
+from fatezero_tpu.pipelines.fatezero_pipeline import FateZeroPipeline
+from fatezero_tpu.pipelines.p2p_validation_loop import P2pSampleLogger
+from fatezero_tpu.ptp.store import AttentionStore
+
+
+def _logdir_for(config_path: str, logdir: Optional[str]) -> str:
+    if logdir:
+        return logdir
+    stem = os.path.splitext(os.path.basename(config_path))[0]
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    return os.path.join("result", stem, stamp)
+
+
+def test(
+    config: str = "config.yaml",
+    pretrained_model_path: str = "random:sd",
+    dataset_config: Optional[dict] = None,
+    editing_config: Optional[dict] = None,
+    model_config: Optional[dict] = None,
+    test_pipeline_config: Optional[dict] = None,
+    seed: int = 0,
+    mixed_precision: str = "bf16",
+    logdir: Optional[str] = None,
+    disk_store: bool = False,
+    **kwargs,
+):
+    """Run one editing workload (reference test(), test_fatezero.py:46-251)."""
+    dataset_config = dict(dataset_config or {})
+    editing_config = dict(editing_config or {})
+    logdir = _logdir_for(config, logdir)
+    os.makedirs(logdir, exist_ok=True)
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if (mixed_precision in ("fp16", "bf16") and on_tpu) else jnp.float32
+
+    bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
+    pipe = FateZeroPipeline(
+        bundle.unet,
+        bundle.unet_params,
+        bundle.vae,
+        bundle.vae_params,
+        bundle.text_encoder,
+        bundle.text_params,
+        bundle.tokenizer,
+        schedule=bundle.schedule,
+    )
+
+    dataset = ImageSequenceDataset(**dataset_config)
+    video = dataset[0]["images"]  # [f, h, w, 3] in [-1, 1]
+    save_gif_mp4_folder_type(
+        np.asarray(video) / 2 + 0.5, os.path.join(logdir, "input.gif")
+    )
+
+    source_prompt = editing_config.get("source_prompt", dataset_config.get("prompt", ""))
+    num_steps = int(editing_config.get("num_inference_steps", 50))
+    emb_src = pipe.encode_prompt(source_prompt)
+    latents = pipe.encode_video(video)
+
+    use_fused = not disk_store and not editing_config.get("save_attention_maps", False)
+    traj = inv_store = traj_host = None
+    if editing_config.get("use_invertion_latents", True):
+        if use_fused:
+            traj = pipe.invert_fast(latents, emb_src, num_steps)
+        else:
+            inv_store = AttentionStore(disk_store=disk_store, store_dir=logdir)
+            traj_host = pipe.invert(latents, emb_src, num_steps, store=inv_store)
+    else:
+        rng = jax.random.PRNGKey(int(editing_config.get("sample_seeds", [seed])[0]))
+        noise = jax.random.normal(rng, latents.shape, latents.dtype)
+        traj = jnp.stack([latents] * num_steps + [noise])
+
+    logger = P2pSampleLogger(
+        editing_prompts=editing_config.get("editing_prompts", [source_prompt]),
+        clip_length=int(editing_config.get("clip_length", video.shape[0])),
+        logdir=logdir,
+        source_prompt=source_prompt,
+        num_inference_steps=num_steps,
+        guidance_scale=float(editing_config.get("guidance_scale", 7.5)),
+        sample_seeds=editing_config.get("sample_seeds", [seed]),
+        p2p_config=editing_config.get("p2p_config", {}),
+        use_inversion_attention=bool(
+            editing_config.get("use_inversion_attention", True)
+        ),
+        annotate=bool(editing_config.get("annotate", False)),
+        use_fused_path=use_fused,
+    )
+    videos = logger.log_sample_images(
+        pipe,
+        np.asarray(video) / 2 + 0.5,
+        traj=traj,
+        inv_store=inv_store,
+        inverted_latents=traj_host,
+        emb_source=emb_src,
+    )
+    save_config(
+        {
+            "config": config,
+            "pretrained_model_path": pretrained_model_path,
+            "dataset_config": dataset_config,
+            "editing_config": {
+                k: v for k, v in editing_config.items() if k != "p2p_config"
+            },
+            "seed": seed,
+            "logdir": logdir,
+        },
+        os.path.join(logdir, "config.yml"),
+    )
+    return logdir, videos
+
+
+def run(config: str):
+    cfg = load_config(config)
+    d = cfg.to_dict()
+    d.setdefault("config", config)
+    # reference sweeps checkpoint_* subdirs of a tuned model
+    # (test_fatezero.py:260-282)
+    pmp = d.get("pretrained_model_path", "random:sd")
+    if os.path.isdir(pmp):
+        ckpts = sorted(
+            p
+            for p in os.listdir(pmp)
+            if p.startswith("checkpoint_") and os.path.isdir(os.path.join(pmp, p))
+        )
+        epoch_list = d.get("pretrained_epoch_list")
+        if ckpts:
+            outs = []
+            for ck in ckpts:
+                epoch = int(ck.split("_")[-1])
+                if epoch_list is not None and epoch not in epoch_list:
+                    continue
+                sub = dict(d)
+                sub["pretrained_model_path"] = os.path.join(pmp, ck)
+                outs.append(test(**sub))
+            return outs
+    return test(**d)
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--config", type=str, default="config/demo.yaml")
+    def _run(config):
+        run(config)
+
+    _run()
+
+
+if __name__ == "__main__":
+    main()

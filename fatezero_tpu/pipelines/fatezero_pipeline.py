@@ -50,6 +50,30 @@ def _blend_maps_16(captured: Dict[str, List], latent_hw: int) -> List:
     return maps
 
 
+def _build_self_masks(injected: Dict[str, List], attn_alpha, attn_th, latent_hw: int):
+    """Per-resolution binary masks for the self-attention swap, from the
+    inversion step's mid-res cross maps, source prompt only
+    (attention_util.py:136-151). Returns ({s_tokens: [f, 1, s, 1]}, viz)."""
+    maps16 = [m.astype(jnp.float32) for m in _blend_maps_16(injected, latent_hw)]
+    f = maps16[0].shape[1]
+    self_masks = {}
+    s_set = sorted(
+        {
+            int(m.shape[-2])
+            for k in ("down_self", "mid_self", "up_self")
+            for m in injected.get(k, [])
+        }
+    )
+    for s in s_set:
+        r = int(np.sqrt(s))
+        mask = blend_mask(maps16, attn_alpha, (r, r), attn_th)
+        # [1, f, r, r] -> [f, 1, s, 1]
+        self_masks[s] = mask[0].reshape(f, 1, s, 1)
+    r_max = int(np.sqrt(max(s_set)))
+    mask_viz = self_masks[max(s_set)].reshape(1, f, r_max, r_max)
+    return self_masks, mask_viz
+
+
 class FateZeroPipeline:
     """Bundles models + params + schedule; exposes invert / sample / edit."""
 
@@ -65,12 +89,18 @@ class FateZeroPipeline:
         schedule: Optional[S.DiffusionSchedule] = None,
         store_dtype=jnp.bfloat16,
     ):
+        def _device(params):
+            # params must live on device once: passing host (numpy) pytrees
+            # into jitted calls re-uploads them on EVERY invocation — 3.4 GB
+            # per UNet call for SD-1.4 over the TPU relay
+            return None if params is None else jax.tree.map(jnp.asarray, params)
+
         self.unet = unet
-        self.unet_params = unet_params
+        self.unet_params = _device(unet_params)
         self.vae = vae
-        self.vae_params = vae_params
+        self.vae_params = _device(vae_params)
         self.text_encoder = text_encoder
-        self.text_params = text_params
+        self.text_params = _device(text_params)
         self.tokenizer = tokenizer
         self.schedule = schedule if schedule is not None else S.make_schedule()
         self.store_dtype = store_dtype
@@ -331,6 +361,236 @@ class FateZeroPipeline:
                 )
         return latent
 
+    # ------------------------------------------------- fused scan fast path
+    def invert_fast(
+        self,
+        latents: jax.Array,
+        cond_embeddings: jax.Array,
+        num_inference_steps: int = 50,
+    ) -> jax.Array:
+        """Clean -> noisy DDIM inversion as one fused `lax.scan`, returning the
+        device-resident latent trajectory [steps+1, 1, f, h, w, 4].
+
+        TPU-native replacement for the reference's capture-everything
+        inversion: instead of streaming ~1.5 GB of attention maps to host RAM
+        per step (attention_store.py:95-109 — the reason the reference needs
+        100 GB RAM), only the ~0.5 MB/step latent trajectory is kept;
+        `edit_fast` recomputes each step's maps on the fly (FLOPs are cheap on
+        the MXU, HBM<->host bandwidth is not).
+        """
+        key = ("invert_scan", num_inference_steps)
+        if key not in self._jit_cache:
+            ts_up = jnp.asarray(
+                S.ddim_timesteps(self.schedule, num_inference_steps)[::-1], jnp.int32
+            )
+
+            @jax.jit
+            def run(latent, cond, params):
+                def body(lat, t):
+                    eps = self.unet.apply(params, lat, t, cond)
+                    new = S.ddim_invert_step(
+                        self.schedule, eps, t, lat, num_inference_steps
+                    )
+                    return new, new
+
+                _, stacked = jax.lax.scan(body, latent, ts_up)
+                return jnp.concatenate([latent[None], stacked], axis=0)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
+
+    def edit_fast(
+        self,
+        traj: jax.Array,
+        cond_embeddings: jax.Array,
+        text_embeddings: jax.Array,
+        controller: EditController,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+    ) -> jax.Array:
+        """Prompt-to-prompt edit as ONE fused `lax.scan` over all steps.
+
+        Per step the body (a) *replays* the matching inversion step's UNet
+        forward from the latent trajectory to rematerialize its attention maps
+        (bit-identical to what a store would hold: same latent, timestep,
+        params => same maps), (b) runs the CFG edit forward with those maps
+        injected, (c) applies windowed self-swap / latent blends via traced
+        {0,1} gates so every scan iteration is the same graph. Zero attention
+        maps ever leave the device.
+
+        traj: output of `invert_fast`. cond_embeddings: source-prompt pair
+        (cond half used for replay). text_embeddings: target pair [2, 77, C].
+        Returns (edited_latent, aux) with stacked per-step blend masks.
+        """
+        steps = num_inference_steps
+        use_attn_blend = controller.attention_blend is not None
+        use_latent_blend = controller.latent_blend is not None
+        attn_th = controller.attention_blend.th[0] if use_attn_blend else 0.3
+        latent_th = controller.latent_blend.th[0] if use_latent_blend else 0.3
+        any_self = any(controller.self_replace_active(i) for i in range(steps))
+        save_self = any_self or use_attn_blend  # what the replay must capture
+
+        timesteps = np.asarray(S.ddim_timesteps(self.schedule, steps), np.int64)
+        idx = np.arange(steps)
+        if controller.use_inversion_attention:
+            replay_idx = steps - 1 - idx
+            blend_idx = steps - idx
+            replay_ts = timesteps
+        else:
+            replay_idx = idx
+            blend_idx = idx + 1
+            replay_ts = timesteps[::-1]
+
+        xs = {
+            "t": jnp.asarray(timesteps, jnp.int32),
+            "replay_t": jnp.asarray(replay_ts, jnp.int32),
+            "alpha_words": jnp.asarray(
+                controller.alpha_time_words[:steps, 0], jnp.float32
+            ),
+            "self_gate": jnp.asarray(
+                [1.0 if controller.self_replace_active(i) else 0.0 for i in range(steps)],
+                jnp.float32,
+            ),
+        }
+        if use_latent_blend:
+            xs["blend_gate"] = jnp.asarray(
+                [
+                    1.0 if controller.latent_blend.latent_blend_active(i) else 0.0
+                    for i in range(steps)
+                ],
+                jnp.float32,
+            )
+
+        ed = {
+            "mapper": controller.mapper,
+            "refine_mapper": controller.refine_mapper,
+            "refine_alphas": controller.refine_alphas,
+            "equalizer": controller.equalizer,
+            "attn_alpha": controller.attention_blend.alpha_layers[:1]
+            if use_attn_blend
+            else None,
+            "latent_alpha": controller.latent_blend.alpha_layers
+            if use_latent_blend
+            else None,
+        }
+        ed = {k: (None if v is None else jnp.asarray(v)) for k, v in ed.items()}
+
+        key = (
+            "edit_scan",
+            steps,
+            controller.cross_edit_kind,
+            controller.equalizer is not None,
+            use_attn_blend,
+            use_latent_blend,
+            any_self,
+            controller.use_inversion_attention,
+            float(attn_th),
+            float(latent_th),
+            traj.shape,
+        )
+        if key not in self._jit_cache:
+            latent_hw = int(traj.shape[-3])
+
+            @jax.jit
+            def run(traj, cond_src, text_emb, guidance, ed, params):
+                replay_lats = traj[jnp.asarray(replay_idx)]
+                blend_lats = traj[jnp.asarray(blend_idx)] if use_latent_blend else None
+
+                def capture(lat, t):
+                    sctx = StoreContext(
+                        save_self_attention=save_self, store_dtype=self.store_dtype
+                    )
+                    self.unet.apply(params, lat, t, cond_src, attn_ctx=sctx)
+                    return sctx.captured
+
+                if use_latent_blend:
+                    inj_shapes = jax.eval_shape(
+                        capture, traj[0], jnp.int32(timesteps[0])
+                    )
+                    sums0 = [
+                        jnp.zeros(m.shape, jnp.float32)
+                        for m in _blend_maps_16(inj_shapes, latent_hw)
+                    ]
+                else:
+                    sums0 = []
+
+                def body(carry, x):
+                    latent, sums = carry
+                    rep_lat, blend_lat, x = x
+                    injected = capture(rep_lat, x["replay_t"])
+                    self_masks = mask_viz = None
+                    if use_attn_blend:
+                        self_masks, mask_viz = _build_self_masks(
+                            injected, ed["attn_alpha"], attn_th, latent_hw
+                        )
+                    ep = EditParams(
+                        cross_edit_kind=controller.cross_edit_kind,
+                        mapper=ed["mapper"],
+                        refine_mapper=ed["refine_mapper"],
+                        refine_alphas=ed["refine_alphas"],
+                        equalizer=ed["equalizer"],
+                        self_replace_active=False,
+                        self_gate=x["self_gate"] if any_self else None,
+                        self_masks=self_masks,
+                        save_self_attention=False,  # live self maps unused here
+                    )
+                    ectx = EditContext(
+                        injected=injected,
+                        params=ep,
+                        alpha_words=x["alpha_words"],
+                        store_dtype=self.store_dtype,
+                    )
+                    lat_in = jnp.concatenate([latent, latent], axis=0)
+                    eps = self.unet.apply(
+                        params, lat_in, x["t"], text_emb, attn_ctx=ectx
+                    )
+                    eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
+                    new_latent = S.ddim_denoise_step(
+                        self.schedule, eps, x["t"], latent, steps
+                    )
+
+                    outs = {}
+                    if use_attn_blend:
+                        outs["attn_mask"] = mask_viz
+                    if use_latent_blend:
+                        live16 = [
+                            m.astype(jnp.float32)
+                            for m in _blend_maps_16(ectx.captured, latent_hw)
+                        ]
+                        sums = [s + m for s, m in zip(sums, live16)]
+                        pair = [
+                            jnp.concatenate([im.astype(jnp.float32), sm], axis=0)
+                            for im, sm in zip(
+                                _blend_maps_16(injected, latent_hw), sums
+                            )
+                        ]
+                        hw = new_latent.shape[2:4]
+                        lmask = blend_mask(pair, ed["latent_alpha"], hw, latent_th)
+                        lmask = jnp.maximum(lmask[:1], lmask)  # union ('both')
+                        blended = apply_latent_blend(new_latent, blend_lat, lmask)
+                        bg = x["blend_gate"]
+                        new_latent = bg * blended + (1.0 - bg) * new_latent
+                        outs["latent_mask"] = lmask
+                    return (new_latent, sums), outs
+
+                if use_latent_blend:
+                    scan_xs = (replay_lats, blend_lats, xs)
+                else:
+                    scan_xs = (replay_lats, jnp.zeros((steps,)), xs)
+                (final, _), outs = jax.lax.scan(body, (traj[-1], sums0), scan_xs)
+                return final, outs
+
+            self._jit_cache[key] = run
+        final, outs = self._jit_cache[key](
+            traj,
+            cond_embeddings[-1:],
+            text_embeddings,
+            jnp.float32(guidance_scale),
+            ed,
+            self.unet_params,
+        )
+        return final, outs
+
     # ------------------------------------------------------------ jit steps
     def _save_step(self, num_steps: int):
         key = ("save_step", num_steps)
@@ -395,28 +655,9 @@ class FateZeroPipeline:
                 self_masks = None
                 mask_viz = None
                 if use_attn_blend:
-                    # per-resolution masks from the inversion step's mid-res
-                    # cross maps, source prompt only (attention_util.py:136-151)
-                    maps16 = [
-                        m.astype(jnp.float32)
-                        for m in _blend_maps_16(injected, latent.shape[2])
-                    ]
-                    f = maps16[0].shape[1]
-                    self_masks = {}
-                    s_set = sorted(
-                        {
-                            int(m.shape[-2])
-                            for k in ("down_self", "mid_self", "up_self")
-                            for m in injected[k]
-                        }
+                    self_masks, mask_viz = _build_self_masks(
+                        injected, attn_alpha, attn_th, latent.shape[2]
                     )
-                    for s in s_set:
-                        r = int(np.sqrt(s))
-                        mask = blend_mask(maps16, attn_alpha, (r, r), attn_th)
-                        # [1, f, r, r] -> [f, 1, s, 1]
-                        self_masks[s] = mask[0].reshape(f, 1, s, 1)
-                    r_max = int(np.sqrt(max(s_set)))
-                    mask_viz = self_masks[max(s_set)].reshape(1, f, r_max, r_max)
                 ep = EditParams(
                     cross_edit_kind=cross_kind,
                     mapper=mapper,

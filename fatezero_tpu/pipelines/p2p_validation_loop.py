@@ -1,0 +1,143 @@
+"""P2pSampleLogger: drives one edit per editing prompt and logs artifacts.
+
+Parity with the reference orchestration loop
+(video_diffusion/pipelines/p2p_validation_loop.py:68-166): per editing prompt
+build the controller from its `p2p_config.<i>` block, run the edit, save
+gif/mp4/frame-folder (annotated optionally), then a side-by-side grid of all
+prompts. The compute path is the fused scan (`edit_fast`) by default; the
+streaming store path is used when the caller needs per-step host maps
+(disk_store / attention visualization).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from fatezero_tpu.common.image_util import (
+    annotate_video,
+    concat_videos,
+    save_gif_mp4_folder_type,
+)
+from fatezero_tpu.ptp.controller import make_controller
+from fatezero_tpu.ptp.store import AttentionStore
+
+
+class P2pSampleLogger:
+    def __init__(
+        self,
+        editing_prompts: List[str],
+        clip_length: int,
+        logdir: str,
+        source_prompt: str = "",
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        sample_seeds: Sequence[int] = (0,),
+        p2p_config: Optional[Dict] = None,
+        use_inversion_attention: bool = True,
+        annotate: bool = False,
+        annotate_size: int = 15,
+        use_fused_path: bool = True,
+        save_attention_maps: bool = False,
+        **kwargs,
+    ):
+        self.editing_prompts = list(editing_prompts)
+        self.clip_length = clip_length
+        self.logdir = logdir
+        self.source_prompt = source_prompt
+        self.num_inference_steps = num_inference_steps
+        self.guidance_scale = guidance_scale
+        self.sample_seeds = list(sample_seeds)
+        self.p2p_config = p2p_config or {}
+        self.use_inversion_attention = use_inversion_attention
+        self.annotate = annotate
+        self.use_fused_path = use_fused_path
+        self.save_attention_maps = save_attention_maps
+        os.makedirs(logdir, exist_ok=True)
+
+    def _controller_for(self, pipeline, idx: int, target_prompt: str):
+        cfg = dict(self.p2p_config.get(idx, self.p2p_config.get(str(idx), {})) or {})
+        cross = cfg.get("cross_replace_steps", 0.8)
+        if isinstance(cross, dict) and set(cross) == {"default_"}:
+            cross = cross["default_"]
+        return make_controller(
+            pipeline.tokenizer,
+            [self.source_prompt, target_prompt],
+            num_steps=self.num_inference_steps,
+            is_replace_controller=cfg.get("is_replace_controller", True),
+            cross_replace_steps=cross,
+            self_replace_steps=cfg.get("self_replace_steps", 0.0),
+            blend_words=cfg.get("blend_words"),
+            eq_params=cfg.get("eq_params"),
+            blend_th=cfg.get("blend_th", (0.3, 0.3)),
+            blend_latents=cfg.get("blend_latents", False),
+            blend_self_attention=cfg.get("blend_self_attention", False),
+            use_inversion_attention=cfg.get(
+                "use_inversion_attention", self.use_inversion_attention
+            ),
+            save_self_attention=cfg.get("save_self_attention", True),
+            save_path=os.path.join(self.logdir, f"prompt_{idx}"),
+        )
+
+    def log_sample_images(
+        self,
+        pipeline,
+        source_video: np.ndarray,
+        traj=None,
+        inv_store: Optional[AttentionStore] = None,
+        inverted_latents: Optional[List[np.ndarray]] = None,
+        emb_source=None,
+    ) -> List[np.ndarray]:
+        """Run every editing prompt; returns the list of decoded videos.
+
+        Fused mode consumes `traj` (device trajectory from invert_fast);
+        streaming mode consumes `inv_store` + `inverted_latents`.
+        """
+        videos = [source_video]
+        if emb_source is None:
+            emb_source = pipeline.encode_prompt(self.source_prompt)
+        for idx, prompt in enumerate(self.editing_prompts):
+            is_reconstruction = prompt == self.source_prompt
+            controller = None
+            if not is_reconstruction or self.use_inversion_attention:
+                controller = self._controller_for(pipeline, idx, prompt)
+            emb_tgt = pipeline.encode_prompt(prompt)
+            if self.use_fused_path:
+                assert traj is not None, "fused path needs the latent trajectory"
+                if controller is not None:
+                    latent, _ = pipeline.edit_fast(
+                        traj,
+                        emb_source,
+                        emb_tgt,
+                        controller,
+                        num_inference_steps=self.num_inference_steps,
+                        guidance_scale=self.guidance_scale,
+                    )
+                else:
+                    latent = pipeline.sample(
+                        jnp.asarray(traj[-1]),
+                        emb_tgt,
+                        num_inference_steps=self.num_inference_steps,
+                        guidance_scale=self.guidance_scale,
+                    )
+            else:
+                latent = pipeline.sample(
+                    jnp.asarray(inverted_latents[-1]),
+                    emb_tgt,
+                    num_inference_steps=self.num_inference_steps,
+                    guidance_scale=self.guidance_scale,
+                    controller=controller,
+                    inv_store=inv_store,
+                    inverted_latents=inverted_latents,
+                )
+            video = pipeline.decode_latents(latent)
+            tag = f"{idx}_{prompt[:80].replace(' ', '_')}"
+            save_gif_mp4_folder_type(video, os.path.join(self.logdir, f"{tag}.gif"))
+            if self.annotate:
+                video = annotate_video(video, prompt)
+            videos.append(video)
+        grid = concat_videos(videos, axis=2)
+        save_gif_mp4_folder_type(grid, os.path.join(self.logdir, "grid.gif"))
+        return videos[1:]

@@ -107,6 +107,10 @@ class EditParams:
     # static: is the self-attention swap active at this step
     # (attention_util.py:124: num_self_replace window)
     self_replace_active: bool = True
+    # traced alternative to `self_replace_active` for step-uniform scan
+    # bodies: scalar in {0.0, 1.0}; when set, the swap is computed every
+    # step and lerped by the gate (same graph at every scan iteration)
+    self_gate: Optional[jax.Array] = None
     # per-resolution blend masks for the self swap, {s_tokens: [f, 1, s, 1]}
     # (attention_util.py:136-151); None disables masking
     self_masks: Optional[Dict[int, jax.Array]] = None
@@ -185,20 +189,32 @@ class EditContext(StoreContext):
         key = store_key(place, is_cross)
         pos = self._pos[key]
         self._pos[key] = pos + 1
-        attn_base = self.injected[key][pos]  # [1, f, h, s, kv] (stored layout)
-        attn_base = attn_base[0].astype(probs.dtype)  # [f, h, s, kv]
+
+        def base():
+            # [1, f, h, s, kv] stored layout -> [f, h, s, kv]; looked up
+            # lazily so an edit that never touches this map class works with
+            # an injected dict that omits it (e.g. replayed stores without
+            # self maps when the swap window is empty).
+            return self.injected[key][pos][0].astype(probs.dtype)
 
         uncond, cond = probs[:-1], probs[-1:]  # cond half under CFG
         if is_cross:
-            new = replace_cross(attn_base, cond, self.params)
+            new = replace_cross(base(), cond, self.params)
             # time/word schedule mix (attention_util.py:129-132)
             aw = self.alpha_words  # [1, 1, 1, 77] -> broadcasts over [1,f,h,s,77]
             cond = new * aw + (1.0 - aw) * cond
+        elif self.params.self_gate is not None:
+            mask = None
+            if self.params.self_masks is not None:
+                mask = self.params.self_masks.get(probs.shape[-2])
+            swapped = replace_self(base(), cond, mask)
+            g = self.params.self_gate.astype(cond.dtype)
+            cond = g * swapped + (1.0 - g) * cond
         elif self.params.self_replace_active:
             mask = None
             if self.params.self_masks is not None:
                 mask = self.params.self_masks.get(probs.shape[-2])
-            cond = replace_self(attn_base, cond, mask)
+            cond = replace_self(base(), cond, mask)
         if uncond.shape[0] == 0:
             return cond
         return jnp.concatenate([uncond, cond], axis=0)

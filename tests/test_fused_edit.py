@@ -1,0 +1,102 @@
+"""Fused-scan fast path vs streaming path: they must produce the same output.
+
+The fused path (invert_fast/edit_fast) rematerializes inversion attention by
+replaying UNet forwards from the latent trajectory inside one lax.scan; the
+streaming path stores maps on the host per step. Same latents, timesteps and
+params => identical maps, so the two edits must agree to float tolerance.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fatezero_tpu.models.tokenizer import StubTokenizer
+from fatezero_tpu.models.unet3d import UNet3DConfig, UNetPseudo3DConditionModel
+from fatezero_tpu.pipelines.fatezero_pipeline import FateZeroPipeline
+from fatezero_tpu.ptp.controller import make_controller
+from fatezero_tpu.ptp.store import AttentionStore
+
+TINY = UNet3DConfig(
+    block_out_channels=(32, 64, 128, 128),
+    attention_head_dim=4,
+    cross_attention_dim=16,
+    norm_num_groups=8,
+)
+STEPS = 4
+F, HW = 2, 16
+
+
+@pytest.fixture(scope="module")
+def pipe(param_init):
+    unet = UNetPseudo3DConditionModel(cfg=TINY)
+    sample = jnp.zeros((1, F, HW, HW, 4))
+    text = jnp.zeros((1, 77, 16))
+    params = param_init(unet, sample, jnp.int32(1), text)
+    return FateZeroPipeline(
+        unet, params, None, None, None, None, StubTokenizer(), store_dtype=jnp.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def latents():
+    return jax.random.normal(jax.random.PRNGKey(7), (1, F, HW, HW, 4))
+
+
+@pytest.fixture(scope="module")
+def embs():
+    emb_src = jax.random.normal(jax.random.PRNGKey(8), (2, 77, 16))
+    emb_tgt = jax.random.normal(jax.random.PRNGKey(9), (2, 77, 16))
+    return emb_src, emb_tgt
+
+
+def test_invert_fast_matches_streaming(pipe, latents, embs):
+    emb_src, _ = embs
+    traj_stream = pipe.invert(latents, emb_src, STEPS, store=None)
+    traj_fast = np.asarray(pipe.invert_fast(latents, emb_src, STEPS))
+    assert traj_fast.shape[0] == STEPS + 1
+    for a, b in zip(traj_stream, traj_fast):
+        np.testing.assert_allclose(np.asarray(a), b, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("with_blends", [False, True])
+def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
+    emb_src, emb_tgt = embs
+    tok = pipe.tokenizer
+    source = "a silver jeep driving"
+    target = "a posche car driving"
+
+    def controller():
+        return make_controller(
+            tok,
+            [source, target],
+            num_steps=STEPS,
+            is_replace_controller=True,
+            cross_replace_steps=0.8,
+            self_replace_steps=0.5,  # exercises the window boundary mid-run
+            eq_params={"words": ["posche"], "values": [2.0]},
+            blend_words=[["jeep"], ["posche"]] if with_blends else None,
+            blend_latents=with_blends,
+            blend_self_attention=with_blends,
+        )
+
+    store = AttentionStore()
+    traj = pipe.invert(latents, emb_src, STEPS, store=store)
+    out_stream = pipe.sample(
+        jnp.asarray(traj[-1]),
+        emb_tgt,
+        num_inference_steps=STEPS,
+        controller=controller(),
+        inv_store=store,
+        inverted_latents=traj,
+    )
+
+    traj_fast = pipe.invert_fast(latents, emb_src, STEPS)
+    out_fast, aux = pipe.edit_fast(
+        traj_fast, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_stream), np.asarray(out_fast), atol=5e-4, rtol=5e-4
+    )
+    if with_blends:
+        assert aux["latent_mask"].shape[0] == STEPS
+        assert aux["attn_mask"].shape[0] == STEPS
