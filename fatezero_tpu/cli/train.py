@@ -1,0 +1,187 @@
+"""One-shot Tune-A-Video fine-tuning entry: `python train_tune_a_video.py --config X`.
+
+Reference parity (train_tune_a_video.py:49-416): freeze everything except
+(attn_temporal, to_q)[, conv_temporal]; AdamW (adafactor as the 8-bit-Adam
+memory analog) with the diffusers LR family; train on one video's clips; every
+`validation_steps` run inversion + reconstruction sampling; every
+`checkpointing_steps` write a `checkpoint_{step}` in save_pretrained layout
+that the edit entry can sweep.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fatezero_tpu.common.checkpoint import save_pipeline_checkpoint
+from fatezero_tpu.common.config import load_config, save_config
+from fatezero_tpu.common.image_util import save_gif_mp4_folder_type
+from fatezero_tpu.data.dataset import ImageSequenceDataset
+from fatezero_tpu.models.loader import load_models
+from fatezero_tpu.pipelines.fatezero_pipeline import FateZeroPipeline
+from fatezero_tpu.trainer.ddpm_trainer import DDPMTrainer
+
+log = logging.getLogger("fatezero_tpu.train")
+
+
+def train(
+    config: str = "config.yaml",
+    pretrained_model_path: str = "random:sd",
+    dataset_config: Optional[dict] = None,
+    model_config: Optional[dict] = None,
+    train_steps: int = 100,
+    validation_steps: int = 100,
+    checkpointing_steps: int = 100,
+    learning_rate: float = 3e-5,
+    scale_lr: bool = False,
+    lr_scheduler: str = "constant",
+    lr_warmup_steps: int = 0,
+    train_temporal_conv: bool = False,
+    use_8bit_adam: bool = False,
+    gradient_checkpointing: bool = False,
+    prior_preservation: Optional[float] = None,
+    mixed_precision: str = "bf16",
+    seed: int = 0,
+    batch_size: int = 1,
+    logdir: Optional[str] = None,
+    validation_sample_logger_config: Optional[dict] = None,
+    editing_config: Optional[dict] = None,
+    **kwargs,
+):
+    dataset_config = dict(dataset_config or {})
+    if logdir is None:
+        stem = os.path.splitext(os.path.basename(config))[0]
+        logdir = os.path.join("result", stem, time.strftime("%Y-%m-%dT%H-%M-%S"))
+    os.makedirs(logdir, exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(logdir, "log.log")),
+        ],
+        force=True,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if (mixed_precision in ("fp16", "bf16") and on_tpu) else jnp.float32
+    if scale_lr:
+        learning_rate *= batch_size * jax.process_count()
+
+    bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
+    pipe = FateZeroPipeline(
+        bundle.unet,
+        bundle.unet_params,
+        bundle.vae,
+        bundle.vae_params,
+        bundle.text_encoder,
+        bundle.text_params,
+        bundle.tokenizer,
+        schedule=bundle.schedule,
+    )
+
+    dataset_config.setdefault("crop", "random")
+    dataset = ImageSequenceDataset(**dataset_config)
+    prompt = dataset_config.get("prompt", "")
+    emb = pipe.encode_prompt(prompt)[-1:]  # cond half only for training
+    class_emb = None
+    if dataset_config.get("class_data_root"):
+        class_emb = pipe.encode_prompt(dataset_config.get("class_data_prompt", ""))[-1:]
+
+    trainer = DDPMTrainer(
+        bundle.unet,
+        bundle.vae,
+        pipe.vae_params,
+        bundle.text_encoder,
+        pipe.text_params,
+        schedule=bundle.schedule,
+        learning_rate=learning_rate,
+        lr_scheduler=lr_scheduler,
+        lr_warmup_steps=lr_warmup_steps,
+        train_steps=train_steps,
+        train_temporal_conv=train_temporal_conv,
+        use_8bit_adam=use_8bit_adam,
+        prior_preservation=prior_preservation,
+    )
+    state = trainer.init_state(pipe.unet_params)
+    rng = jax.random.PRNGKey(seed)
+
+    losses = []
+    for step in range(1, train_steps + 1):
+        sample = dataset[step % max(len(dataset), 1)]
+        images = jnp.asarray(sample["images"])
+        class_images = (
+            jnp.asarray(sample["class_images"])[None]
+            if "class_images" in sample
+            else None
+        )
+        rng, sub = jax.random.split(rng)
+        state, loss = trainer.step(
+            state, images, emb, sub, class_images, class_emb
+        )
+        losses.append(float(loss))
+        if step % 10 == 0 or step == train_steps:
+            log.info("step %d/%d loss %.5f", step, train_steps, np.mean(losses[-10:]))
+
+        if validation_steps and step % validation_steps == 0:
+            pipe.unet_params = state["params"]
+            val_video = _validate(pipe, dataset, prompt, logdir, step)
+            log.info("validation saved at step %d (shape %s)", step, val_video.shape)
+
+        if checkpointing_steps and step % checkpointing_steps == 0:
+            ck = save_pipeline_checkpoint(
+                os.path.join(logdir, f"checkpoint_{step}"),
+                bundle.unet.cfg,
+                state["params"],
+                vae_cfg=bundle.vae.cfg,
+                vae_params=pipe.vae_params,
+                text_cfg=bundle.text_encoder.cfg,
+                text_params=pipe.text_params,
+            )
+            log.info("checkpoint written: %s", ck)
+
+    save_config({"config": config, "train_steps": train_steps, "logdir": logdir,
+                 "final_loss": float(np.mean(losses[-10:]))},
+                os.path.join(logdir, "config.yml"))
+    return logdir, state
+
+
+def _validate(pipe, dataset, prompt, logdir, step, num_steps: int = 10):
+    """Inversion + reconstruction sampling with current params
+    (train_tune_a_video.py:347-388 minus the edit grid)."""
+    video = dataset[0]["images"]
+    emb = pipe.encode_prompt(prompt)
+    latents = pipe.encode_video(video)
+    traj = pipe.invert_fast(latents, emb, num_steps)
+    recon = pipe.sample(traj[-1], emb, num_inference_steps=num_steps)
+    decoded = pipe.decode_latents(recon)
+    save_gif_mp4_folder_type(
+        decoded, os.path.join(logdir, f"validation_{step}", "recon.gif")
+    )
+    return decoded
+
+
+def run(config: str):
+    cfg = load_config(config)
+    d = cfg.to_dict()
+    d.setdefault("config", config)
+    return train(**d)
+
+
+def main():
+    import click
+
+    @click.command()
+    @click.option("--config", type=str, required=True)
+    def _run(config):
+        run(config)
+
+    _run()
+
+
+if __name__ == "__main__":
+    main()

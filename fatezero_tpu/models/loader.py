@@ -162,7 +162,80 @@ def _fast_init(model, *args, seed: int = 0):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _load_flax_native(path: str, model_config: dict, dtype) -> SimpleNamespace:
+    """Load a checkpoint saved by common/checkpoint.py (tuned-model resume)."""
+    from fatezero_tpu.common.checkpoint import (
+        load_component_config,
+        load_component_params,
+    )
+
+    def cfg_from(saved: dict, cls, **extra):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        clean = {}
+        for k, v in saved.items():
+            if k not in fields:
+                continue
+            clean[k] = tuple(v) if isinstance(v, list) else v
+        clean.update(extra)
+        return cls(**clean)
+
+    unet_saved = load_component_config(os.path.join(path, "unet")) or {}
+    # saved sparse indices may be ['-1', 'first'] after json default=str
+    if "sparse_causal_indices" in unet_saved:
+        unet_saved["sparse_causal_indices"] = [
+            int(x) if isinstance(x, str) and x.lstrip("-").isdigit() else x
+            for x in unet_saved["sparse_causal_indices"]
+        ]
+    if unet_saved.get("lora") in ("None", None):
+        unet_saved["lora"] = None
+    else:
+        unet_saved["lora"] = int(unet_saved["lora"])
+    unet_cfg = cfg_from(
+        {**unet_saved, **_unet_cfg_overrides(model_config)}, UNet3DConfig
+    )
+    unet = UNetPseudo3DConditionModel(cfg=unet_cfg, dtype=dtype)
+    # trees are saved verbatim (including the flax "params" root)
+    unet_params = load_component_params(os.path.join(path, "unet"))
+
+    def opt_component(sub, cls, model_cls):
+        d = os.path.join(path, sub)
+        if not os.path.exists(os.path.join(d, "flax_model.safetensors")):
+            return None, None
+        cfg = cfg_from(load_component_config(d) or {}, cls)
+        return model_cls(cfg=cfg, dtype=dtype), load_component_params(d)
+
+    vae, vae_params = opt_component("vae", VAEConfig, AutoencoderKL)
+    text_encoder, text_params = opt_component("text_encoder", CLIPTextConfig, CLIPTextModel)
+    tok_dir = os.path.join(path, "tokenizer")
+    if os.path.exists(os.path.join(tok_dir, "vocab.json")):
+        tokenizer = CLIPTokenizer.from_pretrained(path)
+    else:
+        vocab = text_encoder.cfg.vocab_size if text_encoder else 49408
+        tokenizer = StubTokenizer(vocab_size=vocab)
+    sched_path = os.path.join(path, "scheduler", "scheduler_config.json")
+    schedule = (
+        _schedule_from_config(_read_json(sched_path))
+        if os.path.exists(sched_path)
+        else S.make_schedule()
+    )
+    return SimpleNamespace(
+        unet=unet,
+        unet_params=unet_params,
+        vae=vae,
+        vae_params=vae_params,
+        text_encoder=text_encoder,
+        text_params=text_params,
+        tokenizer=tokenizer,
+        schedule=schedule,
+        pretrained=True,
+    )
+
+
 def _load_pretrained(path: str, model_config: dict, dtype) -> SimpleNamespace:
+    from fatezero_tpu.common.checkpoint import is_flax_checkpoint
+
+    if is_flax_checkpoint(path):
+        return _load_flax_native(path, model_config, dtype)
     from fatezero_tpu.convert.torch_to_flax import (
         convert_clip_text_state,
         convert_unet_state,

@@ -120,7 +120,13 @@ class DDPMTrainer:
         mask = trainable_mask(
             unet_params, train_temporal_conv=self.train_temporal_conv
         )
-        self.tx = optax.masked(self.tx_inner, mask)
+        # NOT optax.masked(inner, mask): masked leaves updates of non-masked
+        # params UNCHANGED (raw grads would be added to frozen params);
+        # multi_transform + set_to_zero is the actual freeze.
+        labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+        self.tx = optax.multi_transform(
+            {"train": self.tx_inner, "freeze": optax.set_to_zero()}, labels
+        )
         return {
             "params": unet_params,
             "opt_state": self.tx.init(unet_params),
