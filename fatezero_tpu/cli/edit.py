@@ -86,6 +86,17 @@ def test(
         else:
             inv_store = AttentionStore(disk_store=disk_store, store_dir=logdir)
             traj_host = pipe.invert(latents, emb_src, num_steps, store=inv_store)
+            # inversion cross-attention heatmap gif
+            # (p2p_ddim_spatial_temporal.py:119-126)
+            from fatezero_tpu.ptp.visualization import show_cross_attention
+
+            show_cross_attention(
+                pipe.tokenizer,
+                source_prompt,
+                inv_store.get_average_attention(),
+                res=int(latents.shape[2]) // 4,
+                save_path=os.path.join(logdir, "cross_attention", "attn.gif"),
+            )
     else:
         rng = jax.random.PRNGKey(int(editing_config.get("sample_seeds", [seed])[0]))
         noise = jax.random.normal(rng, latents.shape, latents.dtype)

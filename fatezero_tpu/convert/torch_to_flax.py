@@ -368,6 +368,74 @@ def convert_clip_text_state(torch_state: Dict[str, np.ndarray]) -> Dict:
     return tree
 
 
+def convert_clip_vision_state(
+    torch_state: Dict[str, np.ndarray], prefix: str = "vision_model."
+) -> Dict:
+    """HF CLIPVisionModel state_dict -> flax tree (models/clip.py naming)."""
+    tree: Dict = {}
+    consumed = set()
+    for k in torch_state:
+        if not k.startswith(prefix):
+            continue
+        rest = k[len(prefix):]
+        if rest == "embeddings.class_embedding":
+            _set(tree, "class_embedding", torch_state[k])
+        elif rest == "embeddings.patch_embedding.weight":
+            # conv [C, 3, P, P] -> [P, P, 3, C]
+            _set(tree, "patch_embedding/kernel", torch_state[k].transpose(2, 3, 1, 0))
+        elif rest == "embeddings.position_embedding.weight":
+            _set(tree, "position_embedding", torch_state[k])
+        elif rest.startswith(("pre_layrnorm", "pre_layernorm")):  # HF typo'd key
+            name = "scale" if rest.endswith("weight") else "bias"
+            _set(tree, f"pre_layernorm/{name}", torch_state[k])
+        elif rest.startswith("post_layernorm"):
+            name = "scale" if rest.endswith("weight") else "bias"
+            _set(tree, f"post_layernorm/{name}", torch_state[k])
+        else:
+            m = re.match(
+                r"encoder\.layers\.(\d+)\.(self_attn\.(?:q_proj|k_proj|v_proj|out_proj)|layer_norm1|layer_norm2|mlp\.fc1|mlp\.fc2)\.(weight|bias)$",
+                rest,
+            )
+            if not m:
+                if "position_ids" in rest:
+                    consumed.add(k)
+                    continue
+                raise KeyError(f"unconverted CLIP-vision key: {k}")
+            li, mod, kind = m.groups()
+            if mod.startswith("layer_norm"):
+                _set(
+                    tree,
+                    f"layers_{li}/{mod}/{'scale' if kind == 'weight' else 'bias'}",
+                    torch_state[k],
+                )
+            else:
+                sub = mod.split(".")[1]
+                base = (
+                    f"layers_{li}/self_attn/{sub}"
+                    if mod.startswith("self_attn")
+                    else f"layers_{li}/{sub}"
+                )
+                _set(
+                    tree,
+                    f"{base}/{'kernel' if kind == 'weight' else 'bias'}",
+                    torch_state[k].T if kind == "weight" else torch_state[k],
+                )
+        consumed.add(k)
+    return tree
+
+
+def convert_clip_full_state(torch_state: Dict[str, np.ndarray]) -> Dict:
+    """HF CLIPModel (dual-tower) state_dict -> flax tree for models.clip.CLIPModel."""
+    tree = {
+        "text_model": convert_clip_text_state(torch_state),
+        "vision_model": convert_clip_vision_state(torch_state),
+        "logit_scale": np.asarray(torch_state["logit_scale"]),
+    }
+    _set(tree, "vision_model/visual_projection/kernel", torch_state["visual_projection.weight"].T)
+    _set(tree, "text_model/text_projection/kernel", torch_state["text_projection.weight"].T)
+    return tree
+
+
 # ------------------------------------------------------------------- merge
 def merge_into_params(init_params: Dict, converted: Dict, strict: bool = True) -> Dict:
     """Overlay converted leaves onto flax-initialized params.

@@ -1,0 +1,98 @@
+"""CLIP eval metrics mechanics + torch->flax converter parity.
+
+Parity tests follow the reference's own pattern (CLIP/tests/test_consistency.py:
+same inputs through two implementations, allclose): a randomly initialized HF
+torch CLIP is converted with convert_clip_*_state and must reproduce the torch
+activations through the Flax towers.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def test_metrics_mechanics(tmp_path):
+    from fatezero_tpu.eval.clip_metrics import load_evaluator
+
+    ev = load_evaluator(None, seed=0)
+    rng = np.random.RandomState(0)
+    frame = rng.rand(1, 64, 64, 3).astype(np.float32)
+    static = np.repeat(frame, 4, axis=0)
+    # identical frames => adjacent cosine similarity exactly 1
+    assert ev.temporal_consistency(static) == pytest.approx(1.0, abs=1e-5)
+    acc = ev.frame_accuracy(static, "a cat", "a dog")
+    assert 0.0 <= acc <= 1.0
+
+    # folder_success drives the file path
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(
+            d / f"{i:05d}.png"
+        )
+    acc, con = ev.folder_success(str(d), "a cat", "a dog")
+    assert 0.0 <= acc <= 1.0 and -1.0 <= con <= 1.0
+
+
+@pytest.fixture(scope="module")
+def hf_clip():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    cfg = transformers.CLIPConfig(
+        text_config_dict=dict(
+            vocab_size=100, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=2, max_position_embeddings=77,
+            # real CLIP pools at the EOT token = highest id; our flax model
+            # uses the argmax convention, so make HF agree for the tiny vocab
+            eos_token_id=99,
+        ),
+        vision_config_dict=dict(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=16,
+        ),
+        projection_dim=16,
+    )
+    torch.manual_seed(0)
+    model = transformers.CLIPModel(cfg).eval()
+    return model, cfg
+
+
+def test_clip_full_parity(hf_clip):
+    import torch
+
+    from fatezero_tpu.convert.torch_to_flax import convert_clip_full_state
+    from fatezero_tpu.models.clip import (
+        CLIPModel,
+        CLIPTextConfig,
+        CLIPVisionConfig,
+    )
+
+    hf, cfg = hf_clip
+    state = {k: v.numpy() for k, v in hf.state_dict().items()}
+    flax_model = CLIPModel(
+        text_cfg=CLIPTextConfig(
+            vocab_size=100, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=2, projection_dim=16,
+        ),
+        vision_cfg=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_layers=2, num_heads=2,
+            image_size=32, patch_size=16, projection_dim=16,
+        ),
+    )
+    params = {"params": convert_clip_full_state(state)}
+
+    rng = np.random.RandomState(1)
+    pixels = rng.rand(2, 32, 32, 3).astype(np.float32)
+    ids = np.array([[5, 17, 99, 3, 0, 0], [8, 2, 99, 0, 0, 0]], np.int32)
+
+    with torch.no_grad():
+        out = hf(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2)),
+        )
+    logits_torch = out.logits_per_image.numpy()
+
+    logits_flax = np.asarray(flax_model.apply(params, jnp.asarray(pixels), jnp.asarray(ids)))
+    np.testing.assert_allclose(logits_flax, logits_torch, atol=2e-4, rtol=2e-4)
