@@ -44,18 +44,23 @@ def test(
     mixed_precision: str = "bf16",
     logdir: Optional[str] = None,
     disk_store: bool = False,
+    profile: bool = False,
     **kwargs,
 ):
     """Run one editing workload (reference test(), test_fatezero.py:46-251)."""
+    from fatezero_tpu.common.profiling import PhaseTimer, trace
+
     dataset_config = dict(dataset_config or {})
     editing_config = dict(editing_config or {})
     logdir = _logdir_for(config, logdir)
     os.makedirs(logdir, exist_ok=True)
+    timer = PhaseTimer()
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if (mixed_precision in ("fp16", "bf16") and on_tpu) else jnp.float32
 
-    bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
+    with timer.phase("load_models", sync=False):
+        bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
     pipe = FateZeroPipeline(
         bundle.unet,
         bundle.unet_params,
@@ -76,16 +81,20 @@ def test(
     source_prompt = editing_config.get("source_prompt", dataset_config.get("prompt", ""))
     num_steps = int(editing_config.get("num_inference_steps", 50))
     emb_src = pipe.encode_prompt(source_prompt)
-    latents = pipe.encode_video(video)
+    with timer.phase("vae_encode"):
+        latents = pipe.encode_video(video)
 
     use_fused = not disk_store and not editing_config.get("save_attention_maps", False)
     traj = inv_store = traj_host = None
     if editing_config.get("use_invertion_latents", True):
         if use_fused:
-            traj = pipe.invert_fast(latents, emb_src, num_steps)
+            with timer.phase("inversion"):
+                traj = pipe.invert_fast(latents, emb_src, num_steps)
+                traj.block_until_ready()
         else:
             inv_store = AttentionStore(disk_store=disk_store, store_dir=logdir)
-            traj_host = pipe.invert(latents, emb_src, num_steps, store=inv_store)
+            with timer.phase("inversion"):
+                traj_host = pipe.invert(latents, emb_src, num_steps, store=inv_store)
             # inversion cross-attention heatmap gif
             # (p2p_ddim_spatial_temporal.py:119-126)
             from fatezero_tpu.ptp.visualization import show_cross_attention
@@ -117,14 +126,17 @@ def test(
         annotate=bool(editing_config.get("annotate", False)),
         use_fused_path=use_fused,
     )
-    videos = logger.log_sample_images(
-        pipe,
-        np.asarray(video) / 2 + 0.5,
-        traj=traj,
-        inv_store=inv_store,
-        inverted_latents=traj_host,
-        emb_source=emb_src,
-    )
+    with timer.phase("editing"), trace(os.path.join(logdir, "trace") if profile else None):
+        videos = logger.log_sample_images(
+            pipe,
+            np.asarray(video) / 2 + 0.5,
+            traj=traj,
+            inv_store=inv_store,
+            inverted_latents=traj_host,
+            emb_source=emb_src,
+        )
+    timer.save(os.path.join(logdir, "phase_timings.json"))
+    print(timer)
     save_config(
         {
             "config": config,

@@ -106,10 +106,27 @@ class ImageSequenceDataset:
             frames = T.center_crop(frames, self.image_size, self.image_size)
         return T.to_tensor_range(frames)
 
+    def _native_fast_path(self, indices: List[int]):
+        """Decode+resize+crop in C++ (fatezero_tpu/native) when it is exactly
+        equivalent to the Python path: no offset crop, center crop, and either
+        no resample (source short side == image_size) or opt-in."""
+        if self.crop != "center" or any(self.offset.values()):
+            return None
+        try:
+            from fatezero_tpu import native
+        except Exception:
+            return None
+        paths = [os.path.join(self.path, self.images[i]) for i in indices]
+        return native.load_batch(paths, self.image_size)
+
     def __getitem__(self, index: int) -> Dict:
-        frames = self._load_frames(self._frame_indices(index % self.video_len))
+        indices = self._frame_indices(index % self.video_len)
+        images = self._native_fast_path(indices)
+        if images is None:
+            frames = self._load_frames(indices)
+            images = self.transform(frames)
         sample = {
-            "images": self.transform(frames),  # [f, h, w, 3] in [-1, 1]
+            "images": images,  # [f, h, w, 3] in [-1, 1]
             "prompt_ids": self.prompt_ids,
         }
         if self.class_images_path:

@@ -104,7 +104,42 @@ class FateZeroPipeline:
         self.tokenizer = tokenizer
         self.schedule = schedule if schedule is not None else S.make_schedule()
         self.store_dtype = store_dtype
+        self.mesh = None
         self._jit_cache: Dict = {}
+
+    # ---------------------------------------------------------------- mesh
+    def shard(self, mesh) -> "FateZeroPipeline":
+        """Distribute the pipeline over a device mesh (axes data/seq/tensor).
+
+        UNet kernels get megatron-style tensor sharding, the frame axis of
+        latents/trajectories shards over 'seq' (sequence parallelism — the
+        SparseCausalAttention {prev, first} KV gather becomes an ICI
+        collective inserted by GSPMD), VAE/text params replicate. The fused
+        scan paths pick the shardings up automatically from their inputs.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from fatezero_tpu.parallel.sharding import shard_params
+
+        self.mesh = mesh
+        self.unet_params = shard_params(self.unet_params, mesh)
+        rep = NamedSharding(mesh, P())
+        if self.vae_params is not None:
+            self.vae_params = jax.device_put(self.vae_params, rep)
+        if self.text_params is not None:
+            self.text_params = jax.device_put(self.text_params, rep)
+        self._jit_cache.clear()
+        return self
+
+    def _shard_video(self, x: jax.Array, frame_axis: int = 1) -> jax.Array:
+        """Place a [..., F, H, W, C] array with frames over the 'seq' axis."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * x.ndim
+        spec[frame_axis] = "seq"
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
 
     # ------------------------------------------------------------------ text
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jax.Array:
@@ -397,6 +432,7 @@ class FateZeroPipeline:
                 return jnp.concatenate([latent[None], stacked], axis=0)
 
             self._jit_cache[key] = run
+        latents = self._shard_video(latents, frame_axis=1)
         return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
 
     def edit_fast(
@@ -581,6 +617,7 @@ class FateZeroPipeline:
                 return final, outs
 
             self._jit_cache[key] = run
+        traj = self._shard_video(traj, frame_axis=2)
         final, outs = self._jit_cache[key](
             traj,
             cond_embeddings[-1:],
