@@ -244,14 +244,17 @@ class FateZeroPipeline:
         text_embeddings: jax.Array,
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
+        strength: float = 1.0,
     ) -> jax.Array:
         """Fused lax.scan denoising loop (no store, no edit): the pure-speed
-        path for plain generation/reconstruction."""
-        key = ("scan", num_inference_steps)
+        path for plain generation/reconstruction. strength < 1 runs only the
+        last int(steps*strength) timesteps (img2img semantics,
+        stable_diffusion.py strength handling)."""
+        key = ("scan", num_inference_steps, float(strength))
         if key not in self._jit_cache:
-            timesteps = jnp.asarray(
-                S.ddim_timesteps(self.schedule, num_inference_steps), jnp.int32
-            )
+            ts = S.ddim_timesteps(self.schedule, num_inference_steps)
+            n_used = min(num_inference_steps, int(num_inference_steps * strength))
+            timesteps = jnp.asarray(ts[num_inference_steps - n_used :], jnp.int32)
 
             @jax.jit
             def run(latent, text_emb, guidance, params):
@@ -282,25 +285,32 @@ class FateZeroPipeline:
         inv_store: Optional[AttentionStore] = None,
         edit_store: Optional[AttentionStore] = None,
         inverted_latents: Optional[List[np.ndarray]] = None,
+        strength: float = 1.0,
     ) -> jax.Array:
         """Noisy -> clean CFG denoising (sd_ddim_pipeline,
         p2p_ddim_spatial_temporal.py:260-435).
 
         controller=None: plain loop; pass edit_store to capture maps (the
         reference's edit_type='save'). controller=EditController: prompt-to-
-        prompt editing consuming inv_store (edit_type='swap').
+        prompt editing consuming inv_store (edit_type='swap'). strength < 1
+        skips the earliest (noisiest) timesteps, img2img-style.
         """
         timesteps = S.ddim_timesteps(self.schedule, num_inference_steps)
+        if strength < 1.0:
+            assert controller is None, "strength applies to plain sampling only"
+            n_used = min(num_inference_steps, int(num_inference_steps * strength))
+            timesteps = timesteps[num_inference_steps - n_used :]
         latent = latents
 
         if controller is None:
             if edit_store is None:
                 return self.sample_fast(
-                    latents, text_embeddings, num_inference_steps, guidance_scale
+                    latents, text_embeddings, num_inference_steps, guidance_scale,
+                    strength=strength,
                 )
             step_fn = self._save_step(num_inference_steps)
             pending = None
-            for i in range(num_inference_steps):
+            for i in range(len(timesteps)):
                 t = jnp.int32(timesteps[i])
                 latent, captured = step_fn(
                     latent, t, text_embeddings, jnp.float32(guidance_scale), self.unet_params

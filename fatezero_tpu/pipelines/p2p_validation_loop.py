@@ -98,13 +98,40 @@ class P2pSampleLogger:
         videos = [source_video]
         if emb_source is None:
             emb_source = pipeline.encode_prompt(self.source_prompt)
+        init_latent = (
+            jnp.asarray(traj[-1]) if traj is not None else jnp.asarray(inverted_latents[-1])
+        )
+        save_store = None  # no-inversion mode: prompt 0's own maps (edit_type 'save')
         for idx, prompt in enumerate(self.editing_prompts):
             is_reconstruction = prompt == self.source_prompt
             controller = None
             if not is_reconstruction or self.use_inversion_attention:
                 controller = self._controller_for(pipeline, idx, prompt)
             emb_tgt = pipeline.encode_prompt(prompt)
-            if self.use_fused_path:
+            if not self.use_inversion_attention:
+                # reference p2p_validation_loop.py:88-104: first prompt runs
+                # edit_type='save' (captures its own attention), later prompts
+                # 'swap' against that store — always the streaming path.
+                if idx == 0:
+                    save_store = AttentionStore()
+                    latent = pipeline.sample(
+                        init_latent,
+                        emb_tgt,
+                        num_inference_steps=self.num_inference_steps,
+                        guidance_scale=self.guidance_scale,
+                        edit_store=save_store,
+                    )
+                else:
+                    latent = pipeline.sample(
+                        init_latent,
+                        emb_tgt,
+                        num_inference_steps=self.num_inference_steps,
+                        guidance_scale=self.guidance_scale,
+                        controller=controller,
+                        inv_store=save_store,
+                        inverted_latents=[init_latent] + list(save_store.latents_store),
+                    )
+            elif self.use_fused_path:
                 assert traj is not None, "fused path needs the latent trajectory"
                 if controller is not None:
                     latent, _ = pipeline.edit_fast(

@@ -90,6 +90,28 @@ def test_edit_identity_injection(unet_and_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-4, rtol=1e-4)
 
 
+def test_temporal_lora_identity_at_init(param_init):
+    """lora config: zero-init up projection => temporal LoRA contributes
+    nothing at init; frame-constant input stays frame-constant (reference
+    lora.py:22-54 inflation semantics)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, lora=4)
+    model = UNetPseudo3DConditionModel(cfg=cfg)
+    frame = jax.random.normal(jax.random.PRNGKey(11), (1, 1, 16, 16, 4))
+    video = jnp.tile(frame, (1, 3, 1, 1, 1))
+    text = jax.random.normal(jax.random.PRNGKey(12), (1, 7, 16))
+    params = param_init(model, video, jnp.int32(1), text)
+    # lora params exist
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = ["/".join(str(getattr(k, "key", k)) for k in p) for p, _ in flat]
+    assert any("lora_temporal_down" in n for n in names)
+    out = model.apply(params, video, jnp.int32(100), text)
+    np.testing.assert_allclose(
+        np.asarray(out[:, 0]), np.asarray(out[:, 2]), atol=1e-4, rtol=1e-4
+    )
+
+
 def test_least_sc_channel_disables_gather(unet_and_params):
     # least_sc_channel only changes the static KV gather — params are
     # structurally identical, so reuse the TINY fixture's.
