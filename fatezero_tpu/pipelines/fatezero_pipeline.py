@@ -475,6 +475,12 @@ class FateZeroPipeline:
         latent_th = controller.latent_blend.th[0] if use_latent_blend else 0.3
         any_self = any(controller.self_replace_active(i) for i in range(steps))
         save_self = any_self or use_attn_blend  # what the replay must capture
+        # Single-forward mode: replay rides the CFG batch as row 0 and each
+        # attention site edits the cond row against row 0 in place — one UNet
+        # application per step instead of two. Requires the replay timestep to
+        # equal the edit timestep (use_inversion_attention) and no
+        # blend_self_attention (its masks need maps of later layers).
+        inline = controller.use_inversion_attention and not use_attn_blend
 
         timesteps = np.asarray(S.ddim_timesteps(self.schedule, steps), np.int64)
         idx = np.arange(steps)
@@ -530,6 +536,7 @@ class FateZeroPipeline:
             use_latent_blend,
             any_self,
             controller.use_inversion_attention,
+            inline,
             float(attn_th),
             float(latent_th),
             traj.shape,
@@ -559,6 +566,61 @@ class FateZeroPipeline:
                     ]
                 else:
                     sums0 = []
+
+                def _latent_blend_step(new_latent, sums, live_ctx_maps, inv_maps, blend_lat, bg):
+                    live16 = [
+                        m.astype(jnp.float32)
+                        for m in _blend_maps_16(live_ctx_maps, latent_hw)
+                    ]
+                    sums = [s + m for s, m in zip(sums, live16)]
+                    pair = [
+                        jnp.concatenate([im.astype(jnp.float32), sm], axis=0)
+                        for im, sm in zip(_blend_maps_16(inv_maps, latent_hw), sums)
+                    ]
+                    hw = new_latent.shape[2:4]
+                    lmask = blend_mask(pair, ed["latent_alpha"], hw, latent_th)
+                    lmask = jnp.maximum(lmask[:1], lmask)  # union ('both')
+                    blended = apply_latent_blend(new_latent, blend_lat, lmask)
+                    return bg * blended + (1.0 - bg) * new_latent, sums, lmask
+
+                text3 = jnp.concatenate([cond_src, text_emb], axis=0)  # [3,77,C]
+
+                def body_inline(carry, x):
+                    latent, sums = carry
+                    rep_lat, blend_lat, x = x
+                    ep = EditParams(
+                        cross_edit_kind=controller.cross_edit_kind,
+                        mapper=ed["mapper"],
+                        refine_mapper=ed["refine_mapper"],
+                        refine_alphas=ed["refine_alphas"],
+                        equalizer=ed["equalizer"],
+                        self_replace_active=False,
+                        self_gate=x["self_gate"] if any_self else None,
+                        self_masks=None,
+                        save_self_attention=False,
+                    )
+                    from fatezero_tpu.ptp.context import InlineEditContext
+
+                    ictx = InlineEditContext(
+                        ep,
+                        x["alpha_words"],
+                        store_dtype=self.store_dtype,
+                        capture_for_blend=use_latent_blend,
+                    )
+                    lat_in = jnp.concatenate([rep_lat, latent, latent], axis=0)
+                    eps = self.unet.apply(params, lat_in, x["t"], text3, attn_ctx=ictx)
+                    eps = S.classifier_free_guidance(eps[1:2], eps[2:], guidance)
+                    new_latent = S.ddim_denoise_step(
+                        self.schedule, eps, x["t"], latent, steps
+                    )
+                    outs = {}
+                    if use_latent_blend:
+                        new_latent, sums, lmask = _latent_blend_step(
+                            new_latent, sums, ictx.captured, ictx.captured_inv,
+                            blend_lat, x["blend_gate"],
+                        )
+                        outs["latent_mask"] = lmask
+                    return (new_latent, sums), outs
 
                 def body(carry, x):
                     latent, sums = carry
@@ -599,23 +661,10 @@ class FateZeroPipeline:
                     if use_attn_blend:
                         outs["attn_mask"] = mask_viz
                     if use_latent_blend:
-                        live16 = [
-                            m.astype(jnp.float32)
-                            for m in _blend_maps_16(ectx.captured, latent_hw)
-                        ]
-                        sums = [s + m for s, m in zip(sums, live16)]
-                        pair = [
-                            jnp.concatenate([im.astype(jnp.float32), sm], axis=0)
-                            for im, sm in zip(
-                                _blend_maps_16(injected, latent_hw), sums
-                            )
-                        ]
-                        hw = new_latent.shape[2:4]
-                        lmask = blend_mask(pair, ed["latent_alpha"], hw, latent_th)
-                        lmask = jnp.maximum(lmask[:1], lmask)  # union ('both')
-                        blended = apply_latent_blend(new_latent, blend_lat, lmask)
-                        bg = x["blend_gate"]
-                        new_latent = bg * blended + (1.0 - bg) * new_latent
+                        new_latent, sums, lmask = _latent_blend_step(
+                            new_latent, sums, ectx.captured, injected,
+                            blend_lat, x["blend_gate"],
+                        )
                         outs["latent_mask"] = lmask
                     return (new_latent, sums), outs
 
@@ -623,7 +672,8 @@ class FateZeroPipeline:
                     scan_xs = (replay_lats, blend_lats, xs)
                 else:
                     scan_xs = (replay_lats, jnp.zeros((steps,)), xs)
-                (final, _), outs = jax.lax.scan(body, (traj[-1], sums0), scan_xs)
+                scan_body = body_inline if inline else body
+                (final, _), outs = jax.lax.scan(scan_body, (traj[-1], sums0), scan_xs)
                 return final, outs
 
             self._jit_cache[key] = run

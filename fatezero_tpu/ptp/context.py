@@ -156,6 +156,62 @@ def replace_self(
     return mask[None] * attn_replace + (1.0 - mask[None]) * base
 
 
+class InlineEditContext(StoreContext):
+    """Single-forward prompt-to-prompt: batch row 0 IS the inversion replay.
+
+    The UNet runs once on [replay(src-cond); edit-uncond; edit-cond]. At every
+    controlled attention site the cond row is edited against row 0's probs of
+    the same site — the original prompt-to-prompt batching, adapted so row 0
+    replays the inversion trajectory latent. Halves the edit step's UNet
+    applications vs the two-pass EditContext; not usable when self-masks from
+    the *same step's* cross maps are needed (blend_self_attention), because
+    those maps aren't complete until the forward finishes.
+
+    Captures row-0 ('inv') and cond-row ('live') cross maps when
+    `capture_for_blend` so the latent blend can be computed post-forward.
+    """
+
+    def __init__(
+        self,
+        params: EditParams,
+        alpha_words: jax.Array,
+        store_dtype=jnp.bfloat16,
+        capture_for_blend: bool = False,
+    ):
+        super().__init__(save_self_attention=False, store_dtype=store_dtype)
+        self.params = params
+        self.alpha_words = alpha_words
+        self.capture_for_blend = capture_for_blend
+        self.captured_inv: Dict[str, List[jax.Array]] = {k: [] for k in STORE_KEYS}
+
+    def process(self, probs, place, is_cross):
+        if probs.shape[-2] > MAX_CONTROLLED_TOKENS or probs.shape[0] < 3:
+            return probs
+        base = probs[0]  # [f, h, s, kv] — the replay row's probs
+        if self.capture_for_blend and is_cross:
+            key = store_key(place, True)
+            self.captured_inv[key].append(probs[:1].astype(self.store_dtype))
+            self.captured[key].append(probs[-1:].astype(self.store_dtype))
+        rep, uncond, cond = probs[:1], probs[1:2], probs[2:]
+        if is_cross:
+            new = replace_cross(base, cond, self.params)
+            aw = self.alpha_words
+            cond = new * aw + (1.0 - aw) * cond
+        elif self.params.self_gate is not None:
+            mask = None
+            if self.params.self_masks is not None:
+                mask = self.params.self_masks.get(probs.shape[-2])
+            swapped = replace_self(base, cond, mask)
+            g = self.params.self_gate.astype(cond.dtype)
+            cond = g * swapped + (1.0 - g) * cond
+        elif self.params.self_replace_active:
+            mask = None
+            if self.params.self_masks is not None:
+                mask = self.params.self_masks.get(probs.shape[-2])
+            cond = replace_self(base, cond, mask)
+        return jnp.concatenate([rep, uncond, cond], axis=0)
+
+
 class EditContext(StoreContext):
     """Consume inversion maps + edit params; rewrite the cond half of each map.
 

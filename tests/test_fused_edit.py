@@ -58,7 +58,10 @@ def test_invert_fast_matches_streaming(pipe, latents, embs):
         np.testing.assert_allclose(np.asarray(a), b, atol=2e-4, rtol=2e-4)
 
 
-@pytest.mark.parametrize("with_blends", [False, True])
+@pytest.mark.parametrize(
+    "with_blends",
+    [False, True, "latent_only"],  # False/latent_only -> single-forward inline path
+)
 def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
     emb_src, emb_tgt = embs
     tok = pipe.tokenizer
@@ -75,8 +78,8 @@ def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
             self_replace_steps=0.5,  # exercises the window boundary mid-run
             eq_params={"words": ["posche"], "values": [2.0]},
             blend_words=[["jeep"], ["posche"]] if with_blends else None,
-            blend_latents=with_blends,
-            blend_self_attention=with_blends,
+            blend_latents=bool(with_blends),
+            blend_self_attention=with_blends is True,
         )
 
     store = AttentionStore()
@@ -99,4 +102,5 @@ def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
     )
     if with_blends:
         assert aux["latent_mask"].shape[0] == STEPS
+    if with_blends is True:
         assert aux["attn_mask"].shape[0] == STEPS
