@@ -1,0 +1,52 @@
+"""Pallas flash-attention kernel vs the XLA reference, in interpret mode.
+
+The kernel streams KV blocks with an online softmax; interpret=True runs the
+same kernel logic on CPU so correctness (including KV-tail masking and
+head-dim padding) is pinned without TPU hardware. test_install.py exercises
+the compiled kernel on the real chip.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fatezero_tpu.ops import flash_attention as FA
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    orig = FA.pl.pallas_call
+    monkeypatch.setattr(
+        FA.pl, "pallas_call", functools.partial(orig, interpret=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "sq,skv,d",
+    [
+        (256, 256, 64),   # aligned everything
+        (300, 520, 40),   # ragged q, ragged kv tail mask, SD head dim 40
+        (128, 1000, 80),  # kv >> q, padded head dim
+    ],
+)
+def test_matches_xla(sq, skv, d):
+    kq, kk, kv_ = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kq, (2, sq, d), jnp.float32)
+    k = jax.random.normal(kk, (2, skv, d), jnp.float32)
+    v = jax.random.normal(kv_, (2, skv, d), jnp.float32)
+    scale = d**-0.5
+    ref = FA.xla_attention(q, k, v, scale)
+    out = FA.flash_attention(q, k, v, scale, block_q=128, block_kv=256)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_io():
+    q = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 64), jnp.bfloat16)
+    out = FA.flash_attention(q, q, q, 0.125)
+    assert out.dtype == jnp.bfloat16
+    ref = FA.xla_attention(q, q, q, 0.125)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
