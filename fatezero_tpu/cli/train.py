@@ -108,10 +108,18 @@ def train(
         prior_preservation=prior_preservation,
     )
     state = trainer.init_state(pipe.unet_params)
+    start_step = 0
+    resume_from = kwargs.get("resume_from")
+    if resume_from:
+        from fatezero_tpu.trainer.ddpm_trainer import load_training_state
+
+        state = load_training_state(resume_from, trainer, state)
+        start_step = state["step"]
+        log.info("resumed optimizer state at step %d from %s", start_step, resume_from)
     rng = jax.random.PRNGKey(seed)
 
     losses = []
-    for step in range(1, train_steps + 1):
+    for step in range(start_step + 1, train_steps + 1):
         sample = dataset[step % max(len(dataset), 1)]
         images = jnp.asarray(sample["images"])
         class_images = (
@@ -142,6 +150,9 @@ def train(
                 text_cfg=bundle.text_encoder.cfg,
                 text_params=pipe.text_params,
             )
+            from fatezero_tpu.trainer.ddpm_trainer import save_training_state
+
+            save_training_state(ck, state)
             log.info("checkpoint written: %s", ck)
 
     save_config({"config": config, "train_steps": train_steps, "logdir": logdir,

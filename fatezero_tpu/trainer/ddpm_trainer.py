@@ -76,6 +76,46 @@ def make_lr_schedule(
     return main
 
 
+def save_training_state(path: str, state: Dict[str, Any]) -> None:
+    """Persist optimizer state + step for exact resume (the reference
+    registers its LR scheduler for checkpointing but never calls save_state,
+    train_tune_a_video.py:255 — here resume is actually supported)."""
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    leaves = jax.tree_util.tree_leaves(state["opt_state"])
+    flat = {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    flat["step"] = np.asarray(state["step"])
+    save_file(flat, os.path.join(path, "training_state.safetensors"))
+
+
+def load_training_state(path: str, trainer: "DDPMTrainer", state: Dict[str, Any]):
+    """Restore opt_state/step into a freshly initialized state (same model +
+    optimizer config => same pytree structure, leaves restored by order)."""
+    import os
+
+    from safetensors.numpy import load_file
+
+    flat = dict(load_file(os.path.join(path, "training_state.safetensors")))
+    step = int(flat.pop("step"))
+    leaves = [flat[k] for k in sorted(flat)]
+    treedef = jax.tree_util.tree_structure(state["opt_state"])
+    if treedef.num_leaves != len(leaves):
+        raise ValueError(
+            f"training state at {path} has {len(leaves)} optimizer leaves but the "
+            f"current trainer config builds {treedef.num_leaves} — resume with the "
+            "same optimizer settings (train_temporal_conv, use_8bit_adam, ...) "
+            "as the run that saved it"
+        )
+    state = dict(state)
+    state["opt_state"] = jax.tree_util.tree_unflatten(treedef, leaves)
+    state["step"] = step
+    return state
+
+
 class DDPMTrainer:
     """Holds models + optimizer; `step(state, batch, rng)` is one jitted update."""
 
