@@ -50,21 +50,23 @@ class CLIPEvaluator:
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        # params as jit arguments, never closure constants (HLO-inlined
+        # weights blow up remote-compile requests)
         self._embed = jax.jit(
-            lambda px: self.model.apply(self.params, px, method="encode_image")
+            lambda params, px: self.model.apply(params, px, method="encode_image")
         )
         self._text = jax.jit(
-            lambda ids: self.model.apply(self.params, ids, method="encode_text")
+            lambda params, ids: self.model.apply(params, ids, method="encode_text")
         )
 
     def image_features(self, video: np.ndarray) -> jnp.ndarray:
         """L2-normalized CLIP embeddings [f, d] of a [f,h,w,3] video in [0,1]."""
-        emb = self._embed(preprocess_frames(video))
+        emb = self._embed(self.params, preprocess_frames(video))
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     def text_features(self, prompts: Sequence[str]) -> jnp.ndarray:
         ids = jnp.asarray(self.tokenizer(list(prompts)).input_ids)
-        emb = self._text(ids)
+        emb = self._text(self.params, ids)
         return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
     # ------------------------------------------------------------- metrics

@@ -145,20 +145,24 @@ class FateZeroPipeline:
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jax.Array:
         """[2, 77, C] (uncond, cond) text embeddings (stable_diffusion.py:180-295)."""
         ids = self.tokenizer([negative_prompt, prompt]).input_ids
+        # params are explicit jit ARGUMENTS everywhere: closing over them
+        # inlines hundreds of MB of weights as HLO constants, which blows up
+        # compile requests (the axon remote-compile relay rejects them with
+        # HTTP 413) and bloats the executable cache
         fwd = self._jit_cache.setdefault(
             "text",
-            jax.jit(lambda ids: self.text_encoder.apply(self.text_params, ids)),
+            jax.jit(lambda params, ids: self.text_encoder.apply(params, ids)),
         )
-        return fwd(jnp.asarray(ids))
+        return fwd(self.text_params, jnp.asarray(ids))
 
     # ------------------------------------------------------------------- vae
     def encode_video(self, images, rng: Optional[jax.Array] = None) -> jax.Array:
         """images [f, h, w, 3] in [-1, 1] -> latents [1, f, h/8, w/8, 4] (scaled)."""
         enc = self._jit_cache.setdefault(
             "vae_encode",
-            jax.jit(lambda px: self.vae.apply(self.vae_params, px, method="encode")),
+            jax.jit(lambda params, px: self.vae.apply(params, px, method="encode")),
         )
-        mean, logvar = enc(jnp.asarray(images))
+        mean, logvar = enc(self.vae_params, jnp.asarray(images))
         z = mean
         if rng is not None:
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
@@ -169,12 +173,12 @@ class FateZeroPipeline:
         frame chunks (stable_diffusion.py:297-319)."""
         dec = self._jit_cache.setdefault(
             "vae_decode",
-            jax.jit(lambda z: self.vae.apply(self.vae_params, z, method="decode")),
+            jax.jit(lambda params, z: self.vae.apply(params, z, method="decode")),
         )
         frames = latents[0] / VAE_SCALE
         outs = []
         for i in range(0, frames.shape[0], chunk):
-            outs.append(np.asarray(dec(frames[i : i + chunk])))
+            outs.append(np.asarray(dec(self.vae_params, frames[i : i + chunk])))
         video = np.concatenate(outs, axis=0)
         return np.clip(video / 2.0 + 0.5, 0.0, 1.0)
 

@@ -186,12 +186,14 @@ class DDPMTrainer:
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
     def _make_step(self):
+        # vae_params as an explicit argument: closure-captured params become
+        # HLO-inlined constants (huge compile requests/executables)
         @jax.jit
-        def train_step(state, images, text_emb, rng, class_images, class_text_emb):
+        def train_step(state, vae_params, images, text_emb, rng, class_images, class_text_emb):
             rng_t, rng_n, rng_vae, rng2 = jax.random.split(rng, 4)
 
             def encode(px):
-                mean, logvar = self.vae.apply(self.vae_params, px, method="encode")
+                mean, logvar = self.vae.apply(vae_params, px, method="encode")
                 z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
                     rng_vae, mean.shape, mean.dtype
                 )
@@ -242,4 +244,6 @@ class DDPMTrainer:
         """One update. images [f,h,w,3] in [-1,1]; text_emb [1,77,C] (cond)."""
         if self._step_fn is None:
             self._step_fn = self._make_step()
-        return self._step_fn(state, images, text_emb, rng, class_images, class_text_emb)
+        return self._step_fn(
+            state, self.vae_params, images, text_emb, rng, class_images, class_text_emb
+        )
