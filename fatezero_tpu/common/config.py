@@ -42,11 +42,24 @@ class Config(Mapping):
         return value
 
     def _resolve_str(self, value: str) -> Any:
+        """Resolve ${..x.y} interpolations. OmegaConf is lazy, so reference
+        configs legally contain DANGLING interpolations on keys nothing ever
+        reads (e.g. test_pipeline_config in the teaser configs references a
+        validation_sample_logger block that isn't there); those degrade to
+        the raw string instead of raising."""
         match = _INTERP_RE.fullmatch(value.strip())
         if match:  # whole-string interpolation: preserve the referenced type
-            return self._lookup_interp(match.group(1))
+            try:
+                return self._lookup_interp(match.group(1))
+            except (KeyError, TypeError):
+                return value
         if _INTERP_RE.search(value):  # embedded: string substitution
-            return _INTERP_RE.sub(lambda m: str(self._lookup_interp(m.group(1))), value)
+            try:
+                return _INTERP_RE.sub(
+                    lambda m: str(self._lookup_interp(m.group(1))), value
+                )
+            except (KeyError, TypeError):
+                return value
         return value
 
     def _lookup_interp(self, expr: str) -> Any:

@@ -99,22 +99,29 @@ class Attention(nn.Module):
         )
         if controlled:
             b, f = video_shape
-            # materialized fp32 probabilities — these are the semantic payload
-            # the store/editor operates on (attention_register.py:28-51)
-            logits = (
-                jnp.einsum(
-                    "bsd,btd->bst",
-                    qh.astype(jnp.float32),
-                    kh.astype(jnp.float32),
-                )
-                * scale
-            )
-            probs = jax.nn.softmax(logits, axis=-1)
+            # materialized probabilities — the semantic payload the
+            # store/editor operates on (attention_register.py:28-51).
+            # upcast_softmax semantics (attention_register.py:24-41): the
+            # logits matmul runs in the model dtype (bf16 on the MXU), only
+            # the softmax is computed in fp32.
+            logits = jnp.einsum(
+                "bsd,btd->bst",
+                qh.astype(self.dtype),
+                kh.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             kv_len = probs.shape[-1]
             probs5 = probs.reshape(b, f, self.heads, s_q, kv_len)
             probs5 = attn_ctx.process(probs5, place, is_cross)
             probs = probs5.reshape(b * f * self.heads, s_q, kv_len)
-            out = jnp.einsum("bst,btd->bsd", probs, vh.astype(jnp.float32))
+            # V-product in model dtype (the reference's half-precision bmm)
+            out = jnp.einsum(
+                "bst,btd->bsd",
+                probs.astype(self.dtype),
+                vh.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
             out = out.astype(self.dtype)
         else:
             out = fused_attention(qh, kh, vh, scale)
