@@ -33,6 +33,11 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", 8))
 RES = int(os.environ.get("BENCH_RES", 512))
 MODE = os.environ.get("BENCH_MODE", "fused")
 SAVE_SELF = bool(int(os.environ.get("BENCH_SAVE_SELF", 1)))
+# The reference's published 60s/40s numbers are for the teaser workload,
+# whose model_config is ['mid'] sparse-causal + least_sc_channel 640
+# (config/teaser/jeep_watercolor.yaml:81-82). BENCH_FULL_SC=1 benchmarks the
+# heavier default (-1,'first') gather instead.
+FULL_SC = bool(int(os.environ.get("BENCH_FULL_SC", 0)))
 BASELINE_S = 100.0  # 60 s inversion + 40 s edit, docs/EditingGuidance.md:74
 
 
@@ -57,7 +62,12 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    unet = UNetPseudo3DConditionModel(cfg=UNet3DConfig(), dtype=dtype)
+    cfg = (
+        UNet3DConfig()
+        if FULL_SC
+        else UNet3DConfig(sparse_causal_indices=("mid",), least_sc_channel=640)
+    )
+    unet = UNetPseudo3DConditionModel(cfg=cfg, dtype=dtype)
     lat = RES // 8
     sample = jnp.zeros((1, FRAMES, lat, lat, 4), jnp.float32)
     text = jnp.zeros((1, 77, 768), jnp.float32)
@@ -149,6 +159,7 @@ def main() -> None:
             "edit_s": round(t_edit, 2),
             "backend": jax.default_backend(),
             "mode": MODE,
+            "model_config": "default" if FULL_SC else "teaser (['mid'], least_sc_channel=640)",
         },
     }
     print(json.dumps(result))
