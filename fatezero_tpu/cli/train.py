@@ -137,7 +137,10 @@ def train(
 
         if validation_steps and step % validation_steps == 0:
             pipe.unet_params = state["params"]
-            val_video = _validate(pipe, dataset, prompt, logdir, step)
+            val_video = _validate(
+                pipe, dataset, prompt, logdir, step,
+                logger_config=validation_sample_logger_config,
+            )
             log.info("validation saved at step %d (shape %s)", step, val_video.shape)
 
         if checkpointing_steps and step % checkpointing_steps == 0:
@@ -161,18 +164,31 @@ def train(
     return logdir, state
 
 
-def _validate(pipe, dataset, prompt, logdir, step, num_steps: int = 10):
-    """Inversion + reconstruction sampling with current params
-    (train_tune_a_video.py:347-388 minus the edit grid)."""
+def _validate(pipe, dataset, prompt, logdir, step, num_steps: int = 10,
+              logger_config: Optional[dict] = None):
+    """Inversion + reconstruction sampling with current params, plus the
+    reference's SampleLogger prompt sweep (train_tune_a_video.py:347-388,
+    validation_loop.py:60-132)."""
+    lc = dict(logger_config or {})
+    num_steps = int(lc.get("num_inference_steps", num_steps))
     video = dataset[0]["images"]
     emb = pipe.encode_prompt(prompt)
     latents = pipe.encode_video(video)
     traj = pipe.invert_fast(latents, emb, num_steps)
     recon = pipe.sample(traj[-1], emb, num_inference_steps=num_steps)
     decoded = pipe.decode_latents(recon)
-    save_gif_mp4_folder_type(
-        decoded, os.path.join(logdir, f"validation_{step}", "recon.gif")
-    )
+    outdir = os.path.join(logdir, f"validation_{step}")
+    save_gif_mp4_folder_type(decoded, os.path.join(outdir, "recon.gif"))
+    # prompt sweep: re-denoise the inverted noise under each validation prompt
+    gs = float(lc.get("guidance_scale", 7.5))
+    for pi, vprompt in enumerate(lc.get("prompts", [])):
+        emb_v = pipe.encode_prompt(str(vprompt))
+        out = pipe.sample(traj[-1], emb_v, num_inference_steps=num_steps,
+                          guidance_scale=gs)
+        save_gif_mp4_folder_type(
+            pipe.decode_latents(out),
+            os.path.join(outdir, f"{pi}_{str(vprompt)[:60].replace(' ', '_')}.gif"),
+        )
     return decoded
 
 
