@@ -35,6 +35,7 @@ class ImageSequenceDataset:
         class_data_root: Optional[str] = None,
         class_prompt_ids=None,
         seed: int = 0,
+        native_loader: Optional[bool] = None,  # None=auto (exact cases only)
         **kwargs,
     ):
         self.path = path
@@ -62,6 +63,8 @@ class ImageSequenceDataset:
         self.prompt = prompt
         self.prompt_ids = prompt_ids
         self._rng = np.random.RandomState(seed)
+        self.native_loader = native_loader
+        self._short_side = None
 
         # class (regularization) images for prior-preservation tuning
         self.class_images_path: List[str] = []
@@ -108,16 +111,31 @@ class ImageSequenceDataset:
 
     def _native_fast_path(self, indices: List[int]):
         """Decode+resize+crop in C++ (fatezero_tpu/native) when it is exactly
-        equivalent to the Python path: no offset crop, center crop, and either
-        no resample (source short side == image_size) or opt-in."""
+        equivalent to the Python path: no offset crop, center crop, and no
+        resample (source short side == image_size). With resampling involved
+        the filters differ slightly (area vs antialiased bilinear), so that
+        only engages when the dataset was built with native_loader=True."""
+        if self.native_loader is False:
+            return None
         if self.crop != "center" or any(self.offset.values()):
             return None
+        if self.native_loader is not True:  # auto mode: exact cases only
+            if self._source_short_side() != self.image_size:
+                return None
         try:
             from fatezero_tpu import native
         except Exception:
             return None
         paths = [os.path.join(self.path, self.images[i]) for i in indices]
         return native.load_batch(paths, self.image_size)
+
+    def _source_short_side(self) -> int:
+        if self._short_side is None:
+            from PIL import Image
+
+            with Image.open(os.path.join(self.path, self.images[0])) as im:
+                self._short_side = min(im.size)
+        return self._short_side
 
     def __getitem__(self, index: int) -> Dict:
         indices = self._frame_indices(index % self.video_len)

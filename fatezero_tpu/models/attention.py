@@ -256,9 +256,14 @@ class SpatioTemporalTransformerModel(nn.Module):
         b, f, hh, ww, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
+        # frames fold into batch BEFORE the GroupNorm so statistics are
+        # per-frame, as in the reference (attention.py:103 rearranges
+        # 'b c f h w -> (b f) c h w' before :112's norm) — normalizing over
+        # the frame axis too would break parity with converted 2-D weights
+        h = x.reshape(b * f, hh, ww, c)
         h = nn.GroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
-        )(x)
+        )(h)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense
         h = h.reshape(b * f, hh * ww, inner)
         ctx_tiled = jnp.repeat(context, f, axis=0)  # [(b f), 77, cross_dim]

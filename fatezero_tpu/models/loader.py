@@ -150,7 +150,11 @@ def _fast_init(model, *args, seed: int = 0):
         name = "/".join(str(getattr(p, "key", p)) for p in path)
         if "temporal" in name and name.endswith("kernel") and len(s.shape) == 3:
             return np.asarray(dirac_temporal_init(None, s.shape, s.dtype))
-        if ("attn_temporal" in name and "to_out" in name) or "lora_up" in name:
+        if ("attn_temporal" in name and "to_out" in name) or (
+            "lora" in name and name.endswith("up")
+        ):
+            # temporal attention out-proj and LoRA up-projection
+            # ('lora_temporal_up') are zero => inflated model == 2-D model
             return np.zeros(s.shape, s.dtype)
         if name.endswith("bias") or "norm" in name.lower() and name.endswith("scale"):
             val = np.ones(s.shape) if name.endswith("scale") else np.zeros(s.shape)
@@ -249,13 +253,6 @@ def _load_pretrained(path: str, model_config: dict, dtype) -> SimpleNamespace:
     unet_json = _read_json(os.path.join(path, "unet", "config.json"))
     unet_cfg = UNet3DConfig.from_reference({**unet_json, **model_config})
     unet = UNetPseudo3DConditionModel(cfg=unet_cfg, dtype=dtype)
-    unet_init = jax.eval_shape(
-        unet.init,
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, 2, unet_cfg.sample_size, unet_cfg.sample_size, 4)),
-        jnp.int32(0),
-        jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
-    )
     # real values for the inflation-added params, converted weights elsewhere
     unet_base = _fast_init(
         unet,
@@ -263,7 +260,6 @@ def _load_pretrained(path: str, model_config: dict, dtype) -> SimpleNamespace:
         jnp.int32(0),
         jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
     )
-    del unet_init
     unet_params = merge_into_params(
         unet_base, convert_unet_state(load_torch_state(os.path.join(path, "unet")))
     )

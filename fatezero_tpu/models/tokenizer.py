@@ -62,10 +62,13 @@ class CLIPTokenizer:
         self.model_max_length = max_length
         self.bos_token_id = vocab.get("<|startoftext|>", 49406)
         self.eos_token_id = vocab.get("<|endoftext|>", 49407)
+        # CLIP's pattern uses \p{L}/\p{N}; stdlib `re` equivalents:
+        # [^\W\d_]+ = unicode letters, \d = unicode digit, (?:[^\s\w]|_)+ =
+        # neither whitespace nor letter/digit. Keeps 'café' one letter-run,
+        # matching the HF/OpenAI tokenizer on non-ASCII prompts.
         self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
             re.IGNORECASE,
         )
         self._bpe_cache: Dict[str, str] = {}

@@ -193,7 +193,9 @@ def ddpm_step(
     """One ancestral DDPM step (variance type: fixed_small), for sampling parity."""
     t = jnp.asarray(timestep)
     alpha_prod_t = _alpha_at(schedule, t)
-    alpha_prod_prev = _alpha_at(schedule, t - 1)
+    # diffusers DDPMScheduler uses `one` (exactly 1.0) for the t-1 < 0
+    # boundary, unlike DDIM's final_alpha_cumprod
+    alpha_prod_prev = jnp.where(t > 0, _alpha_at(schedule, t - 1), 1.0)
     beta_t = schedule.betas[jnp.clip(t, 0, schedule.num_train_timesteps - 1)]
     alpha_t = 1.0 - beta_t
     x0, _ = pred_original_sample(schedule, model_output, t, sample)

@@ -322,7 +322,8 @@ class FateZeroPipeline:
                 if pending is not None:
                     edit_store.append_step(*pending)
                 pending = (captured, latent)
-            edit_store.append_step(*pending)
+            if pending is not None:  # strength can slice the grid empty
+                edit_store.append_step(*pending)
             return latent
 
         assert inv_store is not None, "editing requires the inversion attention store"
@@ -349,6 +350,13 @@ class FateZeroPipeline:
             )
             inv_latent = None
             if controller.latent_blend is not None:
+                # True mode matches the reference exactly (latents_store
+                # index len - cur_step, attention_util.py:53). For the False
+                # ('save') mode the reference reads latents_store[cur_step]
+                # with cur_step already incremented — one step AHEAD of the
+                # current noise level, and an IndexError on its own final
+                # step; we blend at the matching noise level (i+1 into the
+                # [clean, ...] trajectory) instead. Deliberate deviation.
                 lat_idx = (
                     len(inverted_latents) - 1 - i
                     if controller.use_inversion_attention

@@ -95,7 +95,13 @@ class P2pSampleLogger:
         Fused mode consumes `traj` (device trajectory from invert_fast);
         streaming mode consumes `inv_store` + `inverted_latents`.
         """
-        videos = [source_video]
+        # when annotating, the source row needs the same text band or the
+        # grid concat fails on mismatched heights
+        videos = [
+            annotate_video(source_video, self.source_prompt)
+            if self.annotate
+            else source_video
+        ]
         if emb_source is None:
             emb_source = pipeline.encode_prompt(self.source_prompt)
         init_latent = (

@@ -210,10 +210,11 @@ class DDPMTrainer:
                 if self.prior_preservation is not None and class_images is not None:
                     # 2-D regularization branch (ddpm_trainer.py:113-175)
                     lat2 = encode(class_images)[:, None]  # [b, 1, h, w, 4]
+                    rng_t2, rng_n2 = jax.random.split(rng2)
                     t2 = jax.random.randint(
-                        rng2, (lat2.shape[0],), 0, self.schedule.num_train_timesteps
+                        rng_t2, (lat2.shape[0],), 0, self.schedule.num_train_timesteps
                     )
-                    n2 = jax.random.normal(rng2, lat2.shape, lat2.dtype)
+                    n2 = jax.random.normal(rng_n2, lat2.shape, lat2.dtype)
                     loss2 = self._loss(p, lat2, class_text_emb, n2, t2)
                     loss = loss + self.prior_preservation * loss2
                 return loss

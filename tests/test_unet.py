@@ -90,6 +90,31 @@ def test_edit_identity_injection(unet_and_params):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=1e-4, rtol=1e-4)
 
 
+def test_transformer_per_frame_norm(param_init):
+    """The transformer block's GroupNorm uses per-frame statistics: the
+    reference folds frames into batch BEFORE its norm (attention.py:103 then
+    :112), so on frame-VARYING input the transformer applied to the video
+    must equal the transformer applied per frame (sparse-causal disabled,
+    temporal attention identity at init). The UNet's resnet GroupNorms, by
+    contrast, legitimately pool across frames (torch GN over (b,c,f,h,w)) —
+    this invariant holds only for the transformer."""
+    from fatezero_tpu.models.attention import SpatioTemporalTransformerModel
+
+    model = SpatioTemporalTransformerModel(
+        heads=2, dim_head=8, cross_attention_dim=16, norm_num_groups=4,
+        use_sparse_causal=False,
+    )
+    video = jax.random.normal(jax.random.PRNGKey(21), (1, 3, 8, 8, 16))
+    text = jax.random.normal(jax.random.PRNGKey(22), (1, 7, 16))
+    params = param_init(model, video, text, tag="xfmr")
+    out = model.apply(params, video, text)
+    for k in range(3):
+        single = model.apply(params, video[:, k : k + 1], text)
+        np.testing.assert_allclose(
+            np.asarray(out[:, k]), np.asarray(single[:, 0]), atol=1e-4, rtol=1e-4
+        )
+
+
 def test_temporal_lora_identity_at_init(param_init):
     """lora config: zero-init up projection => temporal LoRA contributes
     nothing at init; frame-constant input stays frame-constant (reference
