@@ -106,35 +106,51 @@ def test(
                 res=int(latents.shape[2]) // 4,
                 save_path=os.path.join(logdir, "cross_attention", "attn.gif"),
             )
-    else:
-        rng = jax.random.PRNGKey(int(editing_config.get("sample_seeds", [seed])[0]))
-        noise = jax.random.normal(rng, latents.shape, latents.dtype)
-        traj = jnp.stack([latents] * num_steps + [noise])
+    sample_seeds = [int(s) for s in editing_config.get("sample_seeds", [seed])]
 
-    logger = P2pSampleLogger(
-        editing_prompts=editing_config.get("editing_prompts", [source_prompt]),
-        clip_length=int(editing_config.get("clip_length", video.shape[0])),
-        logdir=logdir,
-        source_prompt=source_prompt,
-        num_inference_steps=num_steps,
-        guidance_scale=float(editing_config.get("guidance_scale", 7.5)),
-        sample_seeds=editing_config.get("sample_seeds", [seed]),
-        p2p_config=editing_config.get("p2p_config", {}),
-        use_inversion_attention=bool(
-            editing_config.get("use_inversion_attention", True)
-        ),
-        annotate=bool(editing_config.get("annotate", False)),
-        use_fused_path=use_fused,
-    )
-    with timer.phase("editing"), trace(os.path.join(logdir, "trace") if profile else None):
-        videos = logger.log_sample_images(
-            pipe,
-            np.asarray(video) / 2 + 0.5,
-            traj=traj,
-            inv_store=inv_store,
-            inverted_latents=traj_host,
-            emb_source=emb_src,
+    def make_logger(subdir: str = "") -> P2pSampleLogger:
+        return P2pSampleLogger(
+            editing_prompts=editing_config.get("editing_prompts", [source_prompt]),
+            clip_length=int(editing_config.get("clip_length", video.shape[0])),
+            logdir=os.path.join(logdir, subdir) if subdir else logdir,
+            source_prompt=source_prompt,
+            num_inference_steps=num_steps,
+            guidance_scale=float(editing_config.get("guidance_scale", 7.5)),
+            sample_seeds=sample_seeds,
+            p2p_config=editing_config.get("p2p_config", {}),
+            use_inversion_attention=bool(
+                editing_config.get("use_inversion_attention", True)
+            ),
+            annotate=bool(editing_config.get("annotate", False)),
+            use_fused_path=use_fused,
         )
+
+    with timer.phase("editing"), trace(os.path.join(logdir, "trace") if profile else None):
+        if traj is None and inv_store is None:
+            # generation mode (use_invertion_latents: false): one run per
+            # sample seed, reference p2p_validation_loop.py seed loop
+            videos = []
+            for s in sample_seeds:
+                noise = jax.random.normal(
+                    jax.random.PRNGKey(s), latents.shape, latents.dtype
+                )
+                seed_traj = jnp.stack([latents] * num_steps + [noise])
+                sub = f"seed_{s}" if len(sample_seeds) > 1 else ""
+                videos += make_logger(sub).log_sample_images(
+                    pipe,
+                    np.asarray(video) / 2 + 0.5,
+                    traj=seed_traj,
+                    emb_source=emb_src,
+                )
+        else:
+            videos = make_logger().log_sample_images(
+                pipe,
+                np.asarray(video) / 2 + 0.5,
+                traj=traj,
+                inv_store=inv_store,
+                inverted_latents=traj_host,
+                emb_source=emb_src,
+            )
     timer.save(os.path.join(logdir, "phase_timings.json"))
     print(timer)
     save_config(
