@@ -40,12 +40,28 @@ def _torch_name(segments):
     return ".".join(out)
 
 
-def _synthesize(flat):
-    """flax flat {path: value} -> torch-layout state dict (non-temporal)."""
+def _synthesize(flat, include_temporal=False):
+    """flax flat {path: value} -> torch-layout state dict.
+
+    include_temporal adds the FateZero 3-D tuned-checkpoint keys
+    (conv_temporal / attn_temporal / norm_temporal)."""
     torch_state = {}
     for path, v in flat.items():
-        if "temporal" in path or "lora" in path:
+        if "lora" in path:
             continue
+        if "temporal" in path:
+            if not include_temporal:
+                continue
+            v = np.asarray(v)
+            segs = path.split("/")
+            if segs[-1] in ("conv_temporal_kernel", "conv_temporal_bias"):
+                name = _torch_name(segs[:-1]) + ".conv_temporal"
+                if segs[-1].endswith("kernel"):  # [k, in, out] -> [out, in, k]
+                    torch_state[f"{name}.weight"] = v.transpose(2, 1, 0)
+                else:
+                    torch_state[f"{name}.bias"] = v
+                continue
+            # attn_temporal / norm_temporal follow the standard rules below
         segs = path.split("/")
         leaf = segs[-1]
         mods = segs[:-1]
@@ -72,7 +88,11 @@ def _synthesize(flat):
     return torch_state
 
 
-def test_unet_converter_roundtrip(param_init):
+@pytest.mark.parametrize("include_temporal", [False, True])
+def test_unet_converter_roundtrip(param_init, include_temporal):
+    """include_temporal=False: 2-D SD checkpoint (inflation keeps temporal
+    identity init); True: FateZero 3-D tuned checkpoint (temporal keys
+    present and converted, unet_3d_condition.py:485-501)."""
     model = UNetPseudo3DConditionModel(cfg=TINY)
     sample = jnp.zeros((1, 2, 16, 16, 4))
     text = jnp.zeros((1, 7, 16))
@@ -81,7 +101,7 @@ def test_unet_converter_roundtrip(param_init):
     from fatezero_tpu.common.checkpoint import _flatten
 
     flat = _flatten(params["params"] if "params" in params else params)
-    torch_state = _synthesize(flat)
+    torch_state = _synthesize(flat, include_temporal=include_temporal)
     assert len(torch_state) > 100
 
     converted = convert_unet_state(torch_state)  # raises on leftover keys
