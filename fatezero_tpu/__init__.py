@@ -16,7 +16,9 @@ Layer map (mirrors SURVEY.md §1, re-architected for TPU):
   - ``fatezero_tpu.parallel`` mesh axes and sharding rules
   - ``fatezero_tpu.data``     image-sequence dataset + transforms
   - ``fatezero_tpu.convert``  torch checkpoint -> Flax params converters
-  - ``fatezero_tpu.evaluation`` CLIP Frame-Acc / Tem-Con metrics
+  - ``fatezero_tpu.eval``     CLIP Frame-Acc / Tem-Con metrics
+  - ``fatezero_tpu.native``   C++ data-loading backend (ctypes)
+  - ``fatezero_tpu.cli``      edit / train / evaluate entry points
 """
 
 __version__ = "0.1.0"
