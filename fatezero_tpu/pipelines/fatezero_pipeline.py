@@ -166,7 +166,9 @@ class FateZeroPipeline:
         z = mean
         if rng is not None:
             z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mean.shape)
-        return (z * VAE_SCALE)[None]
+        # diffusion state is fp32 regardless of model dtype (SURVEY §7.1 #4;
+        # the reference keeps fp32 latents under fp16 models too)
+        return (z * VAE_SCALE)[None].astype(jnp.float32)
 
     def decode_latents(self, latents: jax.Array, chunk: int = 16) -> np.ndarray:
         """latents [1, f, h, w, 4] -> video [f, 8h, 8w, 3] in [0, 1], decoded in
@@ -224,7 +226,7 @@ class FateZeroPipeline:
 
         cond = cond_embeddings[-1:]  # cond half only
         all_latents = [np.asarray(latents)]
-        latent = latents
+        latent = latents.astype(jnp.float32)
         pending = None  # (captured, latent) awaiting host fetch
         for i in range(num_inference_steps):
             t = jnp.int32(timesteps[num_inference_steps - i - 1])
@@ -276,7 +278,7 @@ class FateZeroPipeline:
 
             self._jit_cache[key] = run
         return self._jit_cache[key](
-            latents, text_embeddings, jnp.float32(guidance_scale), self.unet_params
+            latents.astype(jnp.float32), text_embeddings, jnp.float32(guidance_scale), self.unet_params
         )
 
     def sample(
@@ -304,7 +306,7 @@ class FateZeroPipeline:
             assert controller is None, "strength applies to plain sampling only"
             n_used = min(num_inference_steps, int(num_inference_steps * strength))
             timesteps = timesteps[num_inference_steps - n_used :]
-        latent = latents
+        latent = latents.astype(jnp.float32)
 
         if controller is None:
             if edit_store is None:
@@ -454,7 +456,7 @@ class FateZeroPipeline:
                 return jnp.concatenate([latent[None], stacked], axis=0)
 
             self._jit_cache[key] = run
-        latents = self._shard_video(latents, frame_axis=1)
+        latents = self._shard_video(latents.astype(jnp.float32), frame_axis=1)
         return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
 
     def edit_fast(
