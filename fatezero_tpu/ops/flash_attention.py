@@ -68,8 +68,12 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float,
-    block_q: int = 256,
-    block_kv: int = 512,
+    # measured on the v5e at SD shapes ([192, 4096, 40]): (256, 512) hits a
+    # 10x scheduling pathology (204 ms/call); every config with bigger
+    # blocks runs ~21 ms. (512, 2048) is within 6% of the best while keeping
+    # the f32 score block at 4 MB VMEM.
+    block_q: int = 512,
+    block_kv: int = 2048,
 ) -> jax.Array:
     """Streaming attention: softmax(q k^T * scale) v without materializing scores.
 
