@@ -62,10 +62,14 @@ def main() -> None:
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    # teaser mode is the reference "basic" workload EXACTLY: temporal LoRA
+    # rank 160, SparseCausalAttention ['mid'], least_sc_channel 640
+    # (config/teaser/jeep_watercolor.yaml:79-82); FULL_SC is the heavier
+    # stress variant (full temporal convs, (-1,'first') gather).
     cfg = (
         UNet3DConfig()
         if FULL_SC
-        else UNet3DConfig(sparse_causal_indices=("mid",), least_sc_channel=640)
+        else UNet3DConfig(sparse_causal_indices=("mid",), least_sc_channel=640, lora=160)
     )
     unet = UNetPseudo3DConditionModel(cfg=cfg, dtype=dtype)
     lat = RES // 8
@@ -92,6 +96,8 @@ def main() -> None:
     latents = jnp.asarray(np.random.RandomState(0).randn(1, FRAMES, lat, lat, 4), jnp.float32)
 
     def controller():
+        # the teaser's prompt-1 block: refine + reweight 'watercolor' x10
+        # (config/teaser/jeep_watercolor.yaml:60-68)
         return make_controller(
             tokenizer,
             [source, target],
@@ -99,6 +105,7 @@ def main() -> None:
             is_replace_controller=False,
             cross_replace_steps=0.8,
             self_replace_steps=0.8,
+            eq_params={"words": ["watercolor"], "values": [10]},
             save_self_attention=SAVE_SELF,
         )
 
@@ -159,7 +166,9 @@ def main() -> None:
             "edit_s": round(t_edit, 2),
             "backend": jax.default_backend(),
             "mode": MODE,
-            "model_config": "default" if FULL_SC else "teaser (['mid'], least_sc_channel=640)",
+            "model_config": "default (full-SC stress)"
+            if FULL_SC
+            else "teaser-exact (lora160, ['mid'], least_sc_channel=640, eq x10)",
         },
     }
     print(json.dumps(result))

@@ -8,6 +8,7 @@ gif+mp4+frame folder, grid, config snapshot) into a timestamped logdir.
 """
 from __future__ import annotations
 
+import logging
 import os
 import time
 from typing import Optional
@@ -54,6 +55,18 @@ def test(
     editing_config = dict(editing_config or {})
     logdir = _logdir_for(config, logdir)
     os.makedirs(logdir, exist_ok=True)
+    # every run logs to logdir/log.log like the reference
+    # (video_diffusion/common/logger.py:5-17)
+    logging.basicConfig(
+        level=logging.INFO,
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(os.path.join(logdir, "log.log")),
+        ],
+        force=True,
+    )
+    log = logging.getLogger("fatezero_tpu.edit")
+    log.info("editing run: config=%s logdir=%s", config, logdir)
     timer = PhaseTimer()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -121,6 +134,7 @@ def test(
             use_inversion_attention=bool(
                 editing_config.get("use_inversion_attention", True)
             ),
+            strength=editing_config.get("strength"),
             annotate=bool(editing_config.get("annotate", False)),
             use_fused_path=use_fused,
         )
@@ -152,7 +166,7 @@ def test(
                 emb_source=emb_src,
             )
     timer.save(os.path.join(logdir, "phase_timings.json"))
-    print(timer)
+    log.info("%s", timer)
     save_config(
         {
             "config": config,

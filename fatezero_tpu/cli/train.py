@@ -20,7 +20,6 @@ import numpy as np
 
 from fatezero_tpu.common.checkpoint import save_pipeline_checkpoint
 from fatezero_tpu.common.config import load_config, save_config
-from fatezero_tpu.common.image_util import save_gif_mp4_folder_type
 from fatezero_tpu.data.dataset import ImageSequenceDataset
 from fatezero_tpu.models.loader import load_models
 from fatezero_tpu.pipelines.fatezero_pipeline import FateZeroPipeline
@@ -72,6 +71,10 @@ def train(
     if scale_lr:
         learning_rate *= batch_size * jax.process_count()
 
+    model_config = dict(model_config or {})
+    if gradient_checkpointing:
+        # per-block remat (reference train_tune_a_video.py:162-164)
+        model_config["gradient_checkpointing"] = True
     bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
     pipe = FateZeroPipeline(
         bundle.unet,
@@ -137,11 +140,12 @@ def train(
 
         if validation_steps and step % validation_steps == 0:
             pipe.unet_params = state["params"]
-            val_video = _validate(
+            n_saved = _validate(
                 pipe, dataset, prompt, logdir, step,
+                editing_config=editing_config,
                 logger_config=validation_sample_logger_config,
             )
-            log.info("validation saved at step %d (shape %s)", step, val_video.shape)
+            log.info("validation: %d sample videos saved at step %d", n_saved, step)
 
         if checkpointing_steps and step % checkpointing_steps == 0:
             ck = save_pipeline_checkpoint(
@@ -164,32 +168,30 @@ def train(
     return logdir, state
 
 
-def _validate(pipe, dataset, prompt, logdir, step, num_steps: int = 10,
-              logger_config: Optional[dict] = None):
-    """Inversion + reconstruction sampling with current params, plus the
-    reference's SampleLogger prompt sweep (train_tune_a_video.py:347-388,
-    validation_loop.py:60-132)."""
-    lc = dict(logger_config or {})
-    num_steps = int(lc.get("num_inference_steps", num_steps))
+def _validate(pipe, dataset, prompt, logdir, step,
+              editing_config: Optional[dict] = None,
+              logger_config: Optional[dict] = None) -> int:
+    """Online re-inversion + SampleLogger prompt x seed sweep, the reference's
+    tuning validation (train_tune_a_video.py:347-388): the logger is built
+    from `editing_config` (as SampleLogger(**editing_config) is there), with
+    `validation_sample_logger_config` keys taking precedence."""
+    from fatezero_tpu.pipelines.validation_loop import SampleLogger
+
+    lc = {**(editing_config or {}), **(logger_config or {})}
     video = dataset[0]["images"]
-    emb = pipe.encode_prompt(prompt)
-    latents = pipe.encode_video(video)
-    traj = pipe.invert_fast(latents, emb, num_steps)
-    recon = pipe.sample(traj[-1], emb, num_inference_steps=num_steps)
-    decoded = pipe.decode_latents(recon)
-    outdir = os.path.join(logdir, f"validation_{step}")
-    save_gif_mp4_folder_type(decoded, os.path.join(outdir, "recon.gif"))
-    # prompt sweep: re-denoise the inverted noise under each validation prompt
-    gs = float(lc.get("guidance_scale", 7.5))
-    for pi, vprompt in enumerate(lc.get("prompts", [])):
-        emb_v = pipe.encode_prompt(str(vprompt))
-        out = pipe.sample(traj[-1], emb_v, num_inference_steps=num_steps,
-                          guidance_scale=gs)
-        save_gif_mp4_folder_type(
-            pipe.decode_latents(out),
-            os.path.join(outdir, f"{pi}_{str(vprompt)[:60].replace(' ', '_')}.gif"),
-        )
-    return decoded
+    lc.setdefault("editing_prompts", [prompt] + list(lc.pop("prompts", [])))
+    lc.setdefault("clip_length", int(video.shape[0]))
+    lc.setdefault("num_inference_steps", 10)
+    logger = SampleLogger(logdir=logdir, subdir=f"validation_{step}", **lc)
+
+    traj = None
+    if lc.get("use_invertion_latents", True):
+        # params change every step: invert online with the current UNet
+        emb = pipe.encode_prompt(prompt)
+        latents = pipe.encode_video(video)
+        traj = pipe.invert_fast(latents, emb, logger.num_inference_steps)
+    samples = logger.log_sample_images(pipe, step, image=np.asarray(video), traj=traj)
+    return len(samples)
 
 
 def run(config: str):

@@ -46,12 +46,14 @@ class Config(Mapping):
         configs legally contain DANGLING interpolations on keys nothing ever
         reads (e.g. test_pipeline_config in the teaser configs references a
         validation_sample_logger block that isn't there); those degrade to
-        the raw string instead of raising."""
+        the raw string instead of raising — but a warn-once flags the typo'd
+        case so a user config never fails silently downstream."""
         match = _INTERP_RE.fullmatch(value.strip())
         if match:  # whole-string interpolation: preserve the referenced type
             try:
                 return self._lookup_interp(match.group(1))
             except (KeyError, TypeError):
+                self._warn_dangling(value)
                 return value
         if _INTERP_RE.search(value):  # embedded: string substitution
             try:
@@ -59,8 +61,25 @@ class Config(Mapping):
                     lambda m: str(self._lookup_interp(m.group(1))), value
                 )
             except (KeyError, TypeError):
+                self._warn_dangling(value)
                 return value
         return value
+
+    def _warn_dangling(self, value: str) -> None:
+        seen = getattr(self._root, "_warned_interps", None)
+        if seen is None:
+            seen = set()
+            object.__setattr__(self._root, "_warned_interps", seen)
+        if value not in seen:
+            seen.add(value)
+            import logging
+
+            logging.getLogger("fatezero_tpu.config").warning(
+                "unresolved config interpolation %r at %s — kept as a raw "
+                "string (legal for keys nothing reads; a typo otherwise)",
+                value,
+                ".".join(map(str, self._path)) or "<root>",
+            )
 
     def _lookup_interp(self, expr: str) -> Any:
         expr = expr.strip()
@@ -165,6 +184,27 @@ def _deepcopy_plain(x):
     return x
 
 
+class _OmegaFloatLoader(yaml.SafeLoader):
+    """YAML 1.1 parses `1e-5` (no dot) as a STRING; OmegaConf patches its
+    loader with a wider float resolver so `learning_rate: 1e-5` is a float
+    (the tune configs rely on it). Mirror that resolver exactly."""
+
+
+_OmegaFloatLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?[0-9][0-9_]*(?::[0-5]?[0-9])+\.[0-9_]*
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def load_config(path_or_dict) -> Config:
     """Load a YAML file (or wrap a dict) into a Config."""
     if isinstance(path_or_dict, Config):
@@ -172,7 +212,7 @@ def load_config(path_or_dict) -> Config:
     if isinstance(path_or_dict, dict):
         return Config(path_or_dict)
     with open(path_or_dict) as f:
-        data = yaml.safe_load(f)
+        data = yaml.load(f, Loader=_OmegaFloatLoader)
     return Config(data if data is not None else {})
 
 

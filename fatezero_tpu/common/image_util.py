@@ -66,13 +66,15 @@ def save_gif_mp4_folder_type(
         frame.save(os.path.join(folder, f"{i:05d}.png"))
 
 
-def annotate_video(video: np.ndarray, text: str) -> np.ndarray:
-    """Draw the prompt under each frame (reference annotate option)."""
+def annotate_video(video: np.ndarray, text: str, font_size: int = 15) -> np.ndarray:
+    """Draw the prompt under each frame (reference annotate_image,
+    common/image_util.py:48-73 — without the font download)."""
+    band = max(24, font_size + 9)
     out = []
     for frame in to_uint8(video):
         img = Image.fromarray(frame)
         w, h = img.size
-        canvas = Image.new("RGB", (w, h + 24), "white")
+        canvas = Image.new("RGB", (w, h + band), "white")
         canvas.paste(img, (0, 0))
         draw = ImageDraw.Draw(canvas)
         draw.text((4, h + 4), text[: w // 6], fill="black")

@@ -93,6 +93,8 @@ def _unet_cfg_overrides(model_config: dict) -> dict:
         out["temporal_downsample_time"] = int(model_config["temporal_downsample_time"])
     if model_config.get("lora"):
         out["lora"] = int(model_config["lora"])
+    if model_config.get("gradient_checkpointing"):
+        out["gradient_checkpointing"] = True
     return out
 
 

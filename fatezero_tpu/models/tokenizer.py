@@ -92,6 +92,22 @@ class CLIPTokenizer:
             merges = merges[1:]
         return cls(vocab, [m for m in merges if m], **kw)
 
+    @classmethod
+    def from_openai_bpe(cls, bpe_path: str, **kw) -> "CLIPTokenizer":
+        """Build from OpenAI's bpe_simple_vocab_16e6.txt.gz (no vocab.json):
+        the vocab is derived from the merge list exactly as OpenAI's
+        SimpleTokenizer derives it, yielding the standard 49408-entry CLIP
+        vocabulary."""
+        with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
+            lines = f.read().split("\n")
+        merges = [m for m in lines[1 : 49152 - 256 - 2 + 1] if m]
+        chars = list(bytes_to_unicode().values())
+        vocab_list = chars + [c + "</w>" for c in chars]
+        vocab_list += ["".join(m.split()) for m in merges]
+        vocab_list += ["<|startoftext|>", "<|endoftext|>"]
+        vocab = {tok: i for i, tok in enumerate(vocab_list)}
+        return cls(vocab, merges, **kw)
+
     # -- BPE ---------------------------------------------------------------
     def _bpe(self, token: str) -> str:
         if token in self._bpe_cache:

@@ -73,6 +73,12 @@ class UNet3DConfig:
     temporal_downsample_time: int = 0
     lora: Optional[int] = None
     temporal_attention: bool = True
+    # tuning-time rematerialization of the down/mid/up blocks (the reference's
+    # per-block gradient checkpointing, unet_3d_blocks.py:308-326, enabled by
+    # train_tune_a_video.py:162-164). Ignored when an attention controller is
+    # attached: the controller captures maps by trace-time side effect, and
+    # remat re-traces the block body, which would double-record them.
+    gradient_checkpointing: bool = False
 
     @classmethod
     def from_reference(cls, config: dict) -> "UNet3DConfig":
@@ -223,9 +229,12 @@ class CrossAttnUpBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_stack, temb, context, attn_ctx=None):
+    def __call__(self, x, skips, temb, context, attn_ctx=None):
+        # skips: tuple of residuals, consumed last-first (the caller slices the
+        # global res_stack) — a value argument rather than a mutated list so the
+        # block body is a pure function nn.remat can wrap.
         for i in range(self.cfg.layers_per_block + 1):
-            skip = res_stack.pop()
+            skip = skips[len(skips) - 1 - i]
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlockPseudo3D(
                 self.out_channels,
@@ -258,9 +267,9 @@ class UpBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, res_stack, temb):
+    def __call__(self, x, skips, temb):
         for i in range(self.cfg.layers_per_block + 1):
-            skip = res_stack.pop()
+            skip = skips[len(skips) - 1 - i]
             x = jnp.concatenate([x, skip], axis=-1)
             x = ResnetBlockPseudo3D(
                 self.out_channels,
@@ -319,6 +328,17 @@ class UNetPseudo3DConditionModel(nn.Module):
             cfg.block_out_channels[0], 3, lora_rank=cfg.lora, dtype=self.dtype, name="conv_in"
         )(x)
 
+        # Per-block rematerialization (reference unet_3d_blocks.py:308-326):
+        # activations inside each block are recomputed during the backward
+        # pass instead of stored. Only applied when no controller is attached
+        # — the controller records maps as a trace-time side effect and remat
+        # re-traces the body.
+        remat = cfg.gradient_checkpointing and attn_ctx is None
+        lift = (lambda cls: nn.remat(cls)) if remat else (lambda cls: cls)
+        CADown, Down = lift(CrossAttnDownBlock), lift(DownBlock)
+        Mid = lift(MidBlock)
+        CAUp, Up = lift(CrossAttnUpBlock), lift(UpBlock)
+
         num_blocks = len(cfg.down_block_types)
         res_stack = [x]
         for i, block_type in enumerate(cfg.down_block_types):
@@ -326,16 +346,16 @@ class UNetPseudo3DConditionModel(nn.Module):
             t_down = (i >= num_blocks - cfg.temporal_downsample_time) and not is_final
             out_ch = cfg.block_out_channels[i]
             if block_type.startswith("CrossAttn"):
-                x, res = CrossAttnDownBlock(
+                x, res = CADown(
                     cfg,
                     out_ch,
                     add_downsample=not is_final,
                     temporal_downsample=t_down,
                     dtype=self.dtype,
                     name=f"down_blocks_{i}",
-                )(x, temb, context, attn_ctx=attn_ctx)
+                )(x, temb, context, attn_ctx)
             else:
-                x, res = DownBlock(
+                x, res = Down(
                     cfg,
                     out_ch,
                     add_downsample=not is_final,
@@ -345,8 +365,8 @@ class UNetPseudo3DConditionModel(nn.Module):
                 )(x, temb)
             res_stack.extend(res)
 
-        x = MidBlock(cfg, cfg.block_out_channels[-1], dtype=self.dtype, name="mid_block")(
-            x, temb, context, attn_ctx=attn_ctx
+        x = Mid(cfg, cfg.block_out_channels[-1], dtype=self.dtype, name="mid_block")(
+            x, temb, context, attn_ctx
         )
 
         rev_channels = list(reversed(cfg.block_out_channels))
@@ -354,24 +374,27 @@ class UNetPseudo3DConditionModel(nn.Module):
             is_final = i == num_blocks - 1
             t_up = i < (cfg.temporal_downsample_time - 1)
             out_ch = rev_channels[i]
+            n_skips = cfg.layers_per_block + 1
+            skips = tuple(res_stack[-n_skips:])
+            del res_stack[-n_skips:]
             if block_type.startswith("CrossAttn"):
-                x = CrossAttnUpBlock(
+                x = CAUp(
                     cfg,
                     out_ch,
                     add_upsample=not is_final,
                     temporal_upsample=t_up,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, res_stack, temb, context, attn_ctx=attn_ctx)
+                )(x, skips, temb, context, attn_ctx)
             else:
-                x = UpBlock(
+                x = Up(
                     cfg,
                     out_ch,
                     add_upsample=not is_final,
                     temporal_upsample=t_up,
                     dtype=self.dtype,
                     name=f"up_blocks_{i}",
-                )(x, res_stack, temb)
+                )(x, skips, temb)
 
         x = nn.GroupNorm(
             num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype,

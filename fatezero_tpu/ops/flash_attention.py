@@ -1,17 +1,33 @@
-"""Pallas TPU flash-attention kernel for the large, never-edited attention maps.
+"""Pallas TPU flash-attention (forward + custom-VJP backward) for the large,
+never-edited attention maps.
 
 The reference routes attention maps with more than 32*32=1024 query tokens
 through xformers' CUDA memory-efficient attention and leaves them uncontrolled
-(reference: attention_register.py:112-116,198-204). On TPU those maps
+(reference: attention_register.py:112-116,198-204); during tuning the same
+kernels carry gradients (train_tune_a_video.py:333-346). On TPU those maps
 (64x64 = 4096 tokens at 512^2 resolution, with sparse-causal KV of 8192
 tokens) would cost gigabytes of HBM per layer if materialized by XLA, so this
-module implements the streaming (flash) algorithm as a Pallas kernel:
-online softmax over KV blocks, fp32 accumulators in VMEM, no score
-materialization in HBM.
+module implements the streaming (flash) algorithm as Pallas kernels:
 
-Head-dims in SD-1.4 are 40/80/160; inputs are zero-padded to a multiple of
-128 lanes outside the kernel (zero K lanes add zero logits; padded V lanes are
-sliced away). Padded KV *rows* are masked to -inf inside the kernel.
+  * forward: online softmax over KV blocks, fp32 accumulators in VMEM, no
+    score materialization in HBM;
+  * backward (jax.custom_vjp): the standard two-kernel flash backward —
+    a dQ kernel (grid over query blocks, streaming KV) and a dK/dV kernel
+    (grid over KV blocks, streaming Q) that recompute probabilities from the
+    saved log-sum-exp instead of materializing them.
+
+SD-1.4 head dims are 40/80/160 — not multiples of the 128-lane width. Rather
+than zero-padding Q/K/V in HBM (a 3.2x copy at head dim 40), the kernels read
+the *unpadded* arrays with 128-lane block shapes: TPU HBM arrays are already
+physically tiled/padded to 128 lanes, out-of-bounds block reads return that
+(garbage) padding, and out-of-bounds writes are dropped. Garbage lanes/rows
+are masked in VMEM (a VPU `where`, free next to the matmuls).
+
+The log-sum-exp residual is stored broadcast across 128 lanes
+([B, Sq, 128] fp32) so the backward kernels never need a lane<->sublane
+relayout — the same layout jax's own TPU flash kernel uses. It is produced
+only under differentiation (custom_vjp fwd); plain inference calls the
+forward kernel without the extra output.
 """
 from __future__ import annotations
 
@@ -23,24 +39,62 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, kv_pad, block_kv):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _mask_lanes(x: jax.Array, d: int) -> jax.Array:
+    """Zero lanes >= d (static no-op when the block is exactly d wide)."""
+    if x.shape[-1] == d:
+        return x
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane < d, x, 0.0)
+
+
+def _mask_block(x: jax.Array, d: int, n_rows: int, row0) -> jax.Array:
+    """Zero garbage lanes >= d AND garbage rows >= n_rows (global offset row0).
+
+    Out-of-bounds block reads return whatever sits in the array's physical
+    tile padding (NaN in interpret mode) — a zero row/lane mask keeps it out
+    of the accumulators (0 * NaN would poison them otherwise).
+    """
+    cond = None
+    if x.shape[-1] != d:
+        cond = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) < d
+    if n_rows is not None:  # static: caller omits it when rows divide evenly
+        row = row0 + jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 2)
+        rcond = row < n_rows
+        cond = rcond if cond is None else jnp.logical_and(cond, rcond)
+    if cond is None:
+        return x
+    return jnp.where(cond, x, 0.0)
+
+
+# --------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, kv_len, block_kv):
     """One (batch*head, q-block) program: stream KV blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale  # [bq, d]
-    bq, d = q.shape
-    num_kv = kv_pad // block_kv
-    needs_mask = kv_len < kv_pad
+    q = _mask_lanes(q_ref[0].astype(jnp.float32), d) * scale  # [bq, dp]
+    bq = q.shape[0]
+    num_kv = k_ref.shape[1] // block_kv
+    needs_mask = kv_len < num_kv * block_kv
+
+    kv_rows = kv_len if needs_mask else None
 
     def body(i, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)  # [bk, d]
-        v = v_ref[0, pl.ds(i * block_kv, block_kv), :].astype(jnp.float32)  # [bk, d]
+        row0 = i * block_kv
+        k = _mask_block(k_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
+        v = _mask_block(v_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
-        if needs_mask:  # static: only the config with a ragged tail pays for it
-            col = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, (bq, block_kv), 1)
+        if needs_mask:  # static: only a ragged KV tail pays for it
+            col = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < kv_len, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -51,18 +105,219 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, kv_pad, block_kv
         )
         return acc_new, m_new, l_new
 
-    acc = jnp.zeros((bq, d), jnp.float32)
+    acc = jnp.zeros(q.shape, jnp.float32)
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m, l))
     o_ref[0] = (acc / l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (bq, LANES))
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+def _fwd_call(q, k, v, scale, block_q, block_kv, with_lse):
+    B, sq, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(skv, 128))
+    d_pad = _round_up(d, LANES)
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_kv)
+
+    grid = (B, sq_pad // block_q)
+    out_shape = [jax.ShapeDtypeStruct((B, sq, d), q.dtype)]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    ]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((B, sq, LANES), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        )
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, d=d, kv_len=skv, block_kv=block_kv
+    )
+    if not with_lse:
+        kernel = functools.partial(lambda f, *refs: f(*refs, None), kernel)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * sq_pad * skv_pad * d_pad,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=B * sq_pad * skv_pad,
+        ),
+    )(q, k, v)
+    return out if with_lse else (out[0], None)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_kv"))
+# -------------------------------------------------------------------- backward
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, *, scale, d, kv_len, block_kv):
+    """dQ = scale * [P o (dO V^T - delta)] K, streaming KV blocks."""
+    q = _mask_lanes(q_ref[0].astype(jnp.float32), d)
+    do = _mask_lanes(do_ref[0].astype(jnp.float32), d)
+    o = _mask_lanes(o_ref[0].astype(jnp.float32), d)
+    lse = lse_ref[0][:, :1]  # [bq, 1]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
+    num_kv = k_ref.shape[1] // block_kv
+    needs_mask = kv_len < num_kv * block_kv
+
+    kv_rows = kv_len if needs_mask else None
+
+    def body(i, acc):
+        row0 = i * block_kv
+        k = _mask_block(k_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
+        v = _mask_block(v_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        if needs_mask:
+            col = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    acc = jax.lax.fori_loop(0, num_kv, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[0] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    k_ref, v_ref, q_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref, *, scale, d, q_len, block_q
+):
+    """dV = P^T dO ; dK = scale * [P o (dO V^T - delta)]^T Q, streaming Q blocks."""
+    k = _mask_lanes(k_ref[0].astype(jnp.float32), d)  # [bk, dp]
+    v = _mask_lanes(v_ref[0].astype(jnp.float32), d)
+    num_q = q_ref.shape[1] // block_q
+    needs_mask = q_len < num_q * block_q
+
+    q_rows = q_len if needs_mask else None
+
+    def body(j, carry):
+        dk, dv = carry
+        row0 = j * block_q
+        q = _mask_block(q_ref[0, pl.ds(row0, block_q), :].astype(jnp.float32), d, q_rows, row0)
+        o = _mask_block(o_ref[0, pl.ds(row0, block_q), :].astype(jnp.float32), d, q_rows, row0)
+        do = _mask_block(do_ref[0, pl.ds(row0, block_q), :].astype(jnp.float32), d, q_rows, row0)
+        lse = lse_ref[0, pl.ds(j * block_q, block_q), :1]  # [bq, 1]
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
+        s = scale * jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta)
+        if needs_mask:  # zero padded/garbage query rows: they touch every dk/dv row
+            row = j * block_q + jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+            p = jnp.where(row < q_len, p, 0.0)
+            ds = jnp.where(row < q_len, ds, 0.0)
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, dp]
+        dk = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk, dv
+
+    zero = jnp.zeros(k.shape, jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q, body, (zero, zero))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_call(q, k, v, o, lse, do, scale, block_q, block_kv):
+    B, sq, d = q.shape
+    skv = k.shape[1]
+    block_q = min(block_q, _round_up(sq, 128))
+    block_kv = min(block_kv, _round_up(skv, 128))
+    d_pad = _round_up(d, LANES)
+    sq_pad = _round_up(sq, block_q)
+    skv_pad = _round_up(skv, block_kv)
+
+    qspec = pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    lsespec = pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, d=d, kv_len=skv, block_kv=block_kv),
+        grid=(B, sq_pad // block_q),
+        in_specs=[qspec, kvspec, kvspec, qspec, qspec, lsespec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, sq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * sq_pad * skv_pad * d_pad,
+            bytes_accessed=3 * (q.size + k.size) * q.dtype.itemsize,
+            transcendentals=B * sq_pad * skv_pad,
+        ),
+    )(q, k, v, o, do, lse)
+
+    # kv-block grid: a smaller block keeps the fp32 accumulator pair in VMEM
+    block_kv_bwd = min(512, block_kv)
+    skv_pad2 = _round_up(skv, block_kv_bwd)
+    # streaming block over Q must divide sq_pad (which is a block_q multiple)
+    block_q_stream = 2048 if sq_pad % 2048 == 0 else block_q
+    kblkspec = pl.BlockSpec(
+        (1, block_kv_bwd, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    qfullspec = pl.BlockSpec((1, sq_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    lsefullspec = pl.BlockSpec((1, sq_pad, LANES), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, d=d, q_len=sq, block_q=block_q_stream),
+        grid=(B, skv_pad2 // block_kv_bwd),
+        in_specs=[kblkspec, kblkspec, qfullspec, qfullspec, qfullspec, lsefullspec],
+        out_specs=[kblkspec, kblkspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, skv, d), k.dtype),
+            jax.ShapeDtypeStruct((B, skv, d), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * sq_pad * skv_pad2 * d_pad,
+            bytes_accessed=3 * (q.size + k.size) * q.dtype.itemsize,
+            transcendentals=B * sq_pad * skv_pad2,
+        ),
+    )(k, v, q, o, do, lse)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------------------ public API
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _flash(scale, block_q, block_kv, q, k, v):
+    o, _ = _fwd_call(q, k, v, scale, block_q, block_kv, with_lse=False)
+    return o
+
+
+def _flash_fwd(scale, block_q, block_kv, q, k, v):
+    o, lse = _fwd_call(q, k, v, scale, block_q, block_kv, with_lse=True)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(scale, block_q, block_kv, res, g):
+    q, k, v, o, lse = res
+    return _bwd_call(q, k, v, o, lse, g, scale, block_q, block_kv)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -77,46 +332,15 @@ def flash_attention(
 ) -> jax.Array:
     """Streaming attention: softmax(q k^T * scale) v without materializing scores.
 
+    Differentiable (custom VJP with Pallas backward kernels).
+
     Args:
       q: [B, Sq, d]  (B folds batch*frames*heads)
       k, v: [B, Skv, d]
       scale: logit scale (1/sqrt(head_dim), from the *unpadded* head dim)
     Returns [B, Sq, d].
     """
-    B, sq, d = q.shape
-    skv = k.shape[1]
-    block_q = min(block_q, _round_up(sq, 128))
-    block_kv = min(block_kv, _round_up(skv, 128))
-    d_pad = _round_up(d, 128)
-    sq_pad = _round_up(sq, block_q)
-    skv_pad = _round_up(skv, block_kv)
-    q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, d_pad - d)))
-    k = jnp.pad(k, ((0, 0), (0, skv_pad - skv), (0, d_pad - d)))
-    v = jnp.pad(v, ((0, 0), (0, skv_pad - skv), (0, d_pad - d)))
-
-    grid = (B, sq_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, kv_len=skv, kv_pad=skv_pad, block_kv=block_kv
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, sq_pad, d_pad), q.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * sq_pad * skv_pad * d_pad,
-            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=B * sq_pad * skv_pad,
-        ),
-    )(q, k, v)
-    return out[:, :sq, :d]
+    return _flash(scale, block_q, block_kv, q, k, v)
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:

@@ -299,13 +299,21 @@ class FateZeroPipeline:
         controller=None: plain loop; pass edit_store to capture maps (the
         reference's edit_type='save'). controller=EditController: prompt-to-
         prompt editing consuming inv_store (edit_type='swap'). strength < 1
-        skips the earliest (noisiest) timesteps, img2img-style.
+        skips the earliest (noisiest) timesteps, img2img-style: the
+        get_timesteps semantics the reference defines
+        (p2p_ddim_spatial_temporal.py:163-170) — note the reference's own
+        denoise loop leaves the slicing disabled (ddim_spatial_temporal.py:
+        237-238 commented out), so the tune/shape configs' `strength: 0.99`
+        is inert there; here the documented semantics are implemented, with
+        store/replay indices aligned to the *noise level* of each timestep.
         """
         timesteps = S.ddim_timesteps(self.schedule, num_inference_steps)
+        n_used = num_inference_steps
+        t_start = 0
         if strength < 1.0:
-            assert controller is None, "strength applies to plain sampling only"
             n_used = min(num_inference_steps, int(num_inference_steps * strength))
-            timesteps = timesteps[num_inference_steps - n_used :]
+            t_start = num_inference_steps - n_used
+            timesteps = timesteps[t_start:]
         latent = latents.astype(jnp.float32)
 
         if controller is None:
@@ -341,9 +349,13 @@ class FateZeroPipeline:
             if controller.latent_blend is not None
             else None
         )
-        for i in range(num_inference_steps):
+        for i in range(n_used):
             t = jnp.int32(timesteps[i])
-            idx = controller.step_in_store(i, num_stored)
+            # inversion stores are full-grid: align by noise level (grid
+            # position t_start+i); 'save'-mode stores were captured on the
+            # same sliced grid, so the plain step counter lines up.
+            store_step = t_start + i if controller.use_inversion_attention else i
+            idx = controller.step_in_store(store_step, num_stored)
             injected = jax.tree.map(jnp.asarray, inv_store.step_maps(idx))
 
             blend_now = (
@@ -360,7 +372,7 @@ class FateZeroPipeline:
                 # step; we blend at the matching noise level (i+1 into the
                 # [clean, ...] trajectory) instead. Deliberate deviation.
                 lat_idx = (
-                    len(inverted_latents) - 1 - i
+                    len(inverted_latents) - 1 - (t_start + i)
                     if controller.use_inversion_attention
                     else i + 1
                 )
@@ -467,6 +479,7 @@ class FateZeroPipeline:
         controller: EditController,
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
+        strength: float = 1.0,
     ) -> jax.Array:
         """Prompt-to-prompt edit as ONE fused `lax.scan` over all steps.
 
@@ -496,25 +509,34 @@ class FateZeroPipeline:
         # blend_self_attention (its masks need maps of later layers).
         inline = controller.use_inversion_attention and not use_attn_blend
 
+        # strength < 1 runs only the last n_used (least-noisy) grid positions;
+        # the start latent and all replay/blend trajectory indices shift by
+        # t_start so each edit step consumes the inversion state at ITS noise
+        # level. Controller schedules (cross/self windows, alpha words) count
+        # executed edit steps, as the reference's cur_step does.
+        n_used = min(steps, int(steps * strength)) if strength < 1.0 else steps
+        t_start = steps - n_used
+
         timesteps = np.asarray(S.ddim_timesteps(self.schedule, steps), np.int64)
-        idx = np.arange(steps)
+        idx = np.arange(n_used)
+        grid = t_start + idx
         if controller.use_inversion_attention:
-            replay_idx = steps - 1 - idx
-            blend_idx = steps - idx
-            replay_ts = timesteps
+            replay_idx = steps - 1 - grid
+            blend_idx = steps - grid
+            replay_ts = timesteps[grid]
         else:
             replay_idx = idx
             blend_idx = idx + 1
-            replay_ts = timesteps[::-1]
+            replay_ts = timesteps[::-1][idx]
 
         xs = {
-            "t": jnp.asarray(timesteps, jnp.int32),
+            "t": jnp.asarray(timesteps[grid], jnp.int32),
             "replay_t": jnp.asarray(replay_ts, jnp.int32),
             "alpha_words": jnp.asarray(
-                controller.alpha_time_words[:steps, 0], jnp.float32
+                controller.alpha_time_words[:n_used, 0], jnp.float32
             ),
             "self_gate": jnp.asarray(
-                [1.0 if controller.self_replace_active(i) else 0.0 for i in range(steps)],
+                [1.0 if controller.self_replace_active(i) else 0.0 for i in range(n_used)],
                 jnp.float32,
             ),
         }
@@ -522,7 +544,7 @@ class FateZeroPipeline:
             xs["blend_gate"] = jnp.asarray(
                 [
                     1.0 if controller.latent_blend.latent_blend_active(i) else 0.0
-                    for i in range(steps)
+                    for i in range(n_used)
                 ],
                 jnp.float32,
             )
@@ -544,6 +566,7 @@ class FateZeroPipeline:
         key = (
             "edit_scan",
             steps,
+            n_used,
             controller.cross_edit_kind,
             controller.equalizer is not None,
             use_attn_blend,
@@ -685,9 +708,10 @@ class FateZeroPipeline:
                 if use_latent_blend:
                     scan_xs = (replay_lats, blend_lats, xs)
                 else:
-                    scan_xs = (replay_lats, jnp.zeros((steps,)), xs)
+                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs)
                 scan_body = body_inline if inline else body
-                (final, _), outs = jax.lax.scan(scan_body, (traj[-1], sums0), scan_xs)
+                start = traj[steps - t_start]  # noise level of the first used timestep
+                (final, _), outs = jax.lax.scan(scan_body, (start, sums0), scan_xs)
                 return final, outs
 
             self._jit_cache[key] = run

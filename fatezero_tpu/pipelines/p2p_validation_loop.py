@@ -37,6 +37,7 @@ class P2pSampleLogger:
         sample_seeds: Sequence[int] = (0,),
         p2p_config: Optional[Dict] = None,
         use_inversion_attention: bool = True,
+        strength: Optional[float] = None,
         annotate: bool = False,
         annotate_size: int = 15,
         use_fused_path: bool = True,
@@ -52,6 +53,10 @@ class P2pSampleLogger:
         self.sample_seeds = list(sample_seeds)
         self.p2p_config = p2p_config or {}
         self.use_inversion_attention = use_inversion_attention
+        # img2img strength (reference p2p_validation_loop.py:29,117): None/1.0
+        # runs the full grid; <1 starts from a partially-inverted latent and
+        # runs only the matching tail of the timestep grid.
+        self.strength = 1.0 if strength is None else float(strength)
         self.annotate = annotate
         self.use_fused_path = use_fused_path
         self.save_attention_maps = save_attention_maps
@@ -104,8 +109,14 @@ class P2pSampleLogger:
         ]
         if emb_source is None:
             emb_source = pipeline.encode_prompt(self.source_prompt)
+        steps = self.num_inference_steps
+        n_used = min(steps, int(steps * self.strength)) if self.strength < 1.0 else steps
+        # trajectory entry n_used is the inversion state at the noise level of
+        # the first timestep a strength-sliced run will denoise
         init_latent = (
-            jnp.asarray(traj[-1]) if traj is not None else jnp.asarray(inverted_latents[-1])
+            jnp.asarray(traj[n_used])
+            if traj is not None
+            else jnp.asarray(inverted_latents[n_used])
         )
         save_store = None  # no-inversion mode: prompt 0's own maps (edit_type 'save')
         for idx, prompt in enumerate(self.editing_prompts):
@@ -126,6 +137,7 @@ class P2pSampleLogger:
                         num_inference_steps=self.num_inference_steps,
                         guidance_scale=self.guidance_scale,
                         edit_store=save_store,
+                        strength=self.strength,
                     )
                 else:
                     latent = pipeline.sample(
@@ -136,6 +148,7 @@ class P2pSampleLogger:
                         controller=controller,
                         inv_store=save_store,
                         inverted_latents=[init_latent] + list(save_store.latents_store),
+                        strength=self.strength,
                     )
             elif self.use_fused_path:
                 assert traj is not None, "fused path needs the latent trajectory"
@@ -147,23 +160,26 @@ class P2pSampleLogger:
                         controller,
                         num_inference_steps=self.num_inference_steps,
                         guidance_scale=self.guidance_scale,
+                        strength=self.strength,
                     )
                 else:
                     latent = pipeline.sample(
-                        jnp.asarray(traj[-1]),
+                        init_latent,
                         emb_tgt,
                         num_inference_steps=self.num_inference_steps,
                         guidance_scale=self.guidance_scale,
+                        strength=self.strength,
                     )
             else:
                 latent = pipeline.sample(
-                    jnp.asarray(inverted_latents[-1]),
+                    init_latent,
                     emb_tgt,
                     num_inference_steps=self.num_inference_steps,
                     guidance_scale=self.guidance_scale,
                     controller=controller,
                     inv_store=inv_store,
                     inverted_latents=inverted_latents,
+                    strength=self.strength,
                 )
             video = pipeline.decode_latents(latent)
             tag = f"{idx}_{prompt[:80].replace(' ', '_')}"

@@ -10,8 +10,10 @@ the training wiring of train_tune_a_video.py:49-416:
     VAE-encoded, noised video latents (ddpm_trainer.py:60-94);
   * optional prior-preservation branch on class images
     (ddpm_trainer.py:113-175);
-  * AdamW + grad clip + the diffusers LR-schedule family; bf16-ready; remat
-    handled by the UNet's block-level nn.remat flag.
+  * AdamW + grad clip + the diffusers LR-schedule family; bf16-ready;
+    `gradient_checkpointing: true` in the config sets
+    UNet3DConfig.gradient_checkpointing, which wraps every down/mid/up block
+    in nn.remat (reference unet_3d_blocks.py:308-326).
 
 bitsandbytes 8-bit Adam has no TPU equivalent need: optax.adamw states live
 in HBM; `use_8bit_adam` maps to optax.adafactor as the memory-lean option.

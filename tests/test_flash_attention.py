@@ -42,6 +42,37 @@ def test_matches_xla(sq, skv, d):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "sq,skv,d",
+    [
+        (256, 256, 64),   # aligned everything
+        (300, 520, 40),   # ragged q rows, ragged kv tail, SD head dim 40
+        (128, 640, 80),   # kv >> q, padded head dim
+    ],
+)
+def test_grad_matches_xla(sq, skv, d):
+    """custom_vjp backward kernels vs jax.grad through the XLA reference."""
+    kq, kk, kv_ = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(kq, (2, sq, d), jnp.float32)
+    k = jax.random.normal(kk, (2, skv, d), jnp.float32)
+    v = jax.random.normal(kv_, (2, skv, d), jnp.float32)
+    scale = d**-0.5
+
+    def loss_flash(q, k, v):
+        out = FA.flash_attention(q, k, v, scale, block_q=128, block_kv=256)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(FA.xla_attention(q, k, v, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for gf, gx, name in zip(g_flash, g_xla, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gx), atol=2e-4, rtol=2e-4, err_msg=f"d{name}"
+        )
+
+
 def test_bf16_io():
     q = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 64), jnp.bfloat16)
     out = FA.flash_attention(q, q, q, 0.125)

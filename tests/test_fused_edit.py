@@ -104,3 +104,46 @@ def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
         assert aux["latent_mask"].shape[0] == STEPS
     if with_blends is True:
         assert aux["attn_mask"].shape[0] == STEPS
+
+
+def test_edit_strength_fast_matches_streaming(pipe, latents, embs):
+    """strength < 1 (img2img slicing): both paths run only the last
+    int(steps*strength) timesteps starting from the matching trajectory
+    entry, with noise-level-aligned store/replay indices."""
+    emb_src, emb_tgt = embs
+    strength = 0.75  # int(4 * 0.75) = 3 of 4 steps
+    n_used = int(STEPS * strength)
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.8,
+        self_replace_steps=0.5,
+    )
+
+    store = AttentionStore()
+    traj = pipe.invert(latents, emb_src, STEPS, store=store)
+    out_stream = pipe.sample(
+        jnp.asarray(traj[n_used]),
+        emb_tgt,
+        num_inference_steps=STEPS,
+        controller=controller(),
+        inv_store=store,
+        inverted_latents=traj,
+        strength=strength,
+    )
+
+    traj_fast = pipe.invert_fast(latents, emb_src, STEPS)
+    out_fast, _ = pipe.edit_fast(
+        traj_fast, emb_src, emb_tgt, controller(),
+        num_inference_steps=STEPS, strength=strength,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_stream), np.asarray(out_fast), atol=5e-4, rtol=5e-4
+    )
+    # full-strength result differs (more steps executed)
+    out_full, _ = pipe.edit_fast(
+        traj_fast, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    assert float(jnp.max(jnp.abs(out_full - out_fast))) > 1e-3

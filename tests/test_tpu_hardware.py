@@ -1,0 +1,73 @@
+"""Hardware-marked tests: run ONLY on a real TPU chip.
+
+The main suite forces the CPU backend (conftest.py), where the Pallas kernels
+run in XLA-fallback or interpret mode — so kernel + training viability on the
+actual chip needs its own gate. Run with:
+
+    FZ_TPU_TESTS=1 JAX_COMPILATION_CACHE_DIR=.jax_cache \
+        python -m pytest tests/test_tpu_hardware.py -q -p no:cacheprovider
+
+(conftest still pins the CPU platform for the rest of the suite; this module
+re-points at TPU via a subprocess so backend init flags don't collide.)
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("FZ_TPU_TESTS"), reason="set FZ_TPU_TESTS=1 on a TPU host"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(code: str, timeout: int = 1800) -> str:
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the axon plugin pick the chip
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    return out.stdout
+
+
+def test_flash_attention_grad_on_chip():
+    """jax.grad through fused_attention at >=256-token shapes on the TPU —
+    the exact failure mode of round 1 (VERDICT.md What's-missing #1)."""
+    out = _run_on_tpu(
+        """
+import jax, jax.numpy as jnp
+from fatezero_tpu.ops.flash_attention import fused_attention, xla_attention
+assert jax.default_backend() == "tpu"
+q = jax.random.normal(jax.random.PRNGKey(0), (4, 1024, 40), jnp.float32)
+scale = 40 ** -0.5
+loss = lambda att: (lambda q: jnp.sum(jnp.sin(att(q, q, q, scale))))
+gf = jax.jit(jax.grad(loss(fused_attention)))(q)
+gx = jax.jit(jax.grad(loss(xla_attention)))(q)
+# relative tolerance: on-chip fp32 matmuls run as bf16 multi-pass on the MXU
+# (default precision), so the two implementations differ by blocking order
+rel = float(jnp.max(jnp.abs(gf - gx)) / jnp.max(jnp.abs(gx)))
+assert rel < 2e-2, rel
+print("GRAD_OK", rel)
+"""
+    )
+    assert "GRAD_OK" in out
+
+
+def test_tuning_step_on_chip():
+    """One real DDPMTrainer.step at the full 512^2 x 8-frame tuning workload
+    (remat + LoRA-160 + flash backward) completes within chip HBM."""
+    out = _run_on_tpu(
+        f"import runpy; runpy.run_path({os.path.join(REPO, 'scripts', 'tpu_tuning_step.py')!r}, run_name='__main__')",
+        timeout=2400,
+    )
+    assert "TPU TUNING STEP OK" in out

@@ -155,3 +155,34 @@ def test_least_sc_channel_disables_gather(unet_and_params):
     # dim-64 blocks (down 1, at half resolution 8x8) keep the sparse-causal
     # 2-frame KV
     assert ctx.captured["down_self"][2].shape[-1] == 2 * (8 * 8)
+
+
+def test_gradient_checkpointing_remat(unet_and_params):
+    """gradient_checkpointing=True wraps blocks in nn.remat: the grad jaxpr
+    contains remat equations, params are structurally identical, and the
+    forward/grad numerics match the non-remat model."""
+    import dataclasses
+
+    _, params = unet_and_params
+    cfg = dataclasses.replace(TINY, gradient_checkpointing=True)
+    model_ckpt = UNetPseudo3DConditionModel(cfg=cfg)
+    model_plain = UNetPseudo3DConditionModel(cfg=TINY)
+    sample = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 16, 16, 4))
+    text = jax.random.normal(jax.random.PRNGKey(6), (1, 7, 16))
+
+    def loss(m):
+        return lambda p: jnp.mean(m.apply(p, sample, jnp.int32(10), text) ** 2)
+
+    jaxpr = str(jax.make_jaxpr(jax.grad(loss(model_ckpt)))(params))
+    assert "remat" in jaxpr or "checkpoint" in jaxpr
+    assert "remat" not in str(jax.make_jaxpr(jax.grad(loss(model_plain)))(params))
+
+    g_ckpt = jax.grad(loss(model_ckpt))(params)
+    g_plain = jax.grad(loss(model_plain))(params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        ),
+        g_ckpt,
+        g_plain,
+    )
