@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from fatezero_tpu.ops.flash_attention import fused_attention
+from fatezero_tpu.models.layers import FusedGroupNorm, FusedLayerNorm
 from fatezero_tpu.ops.video_ops import gather_sparse_kv
 from fatezero_tpu.ptp.context import MAX_CONTROLLED_TOKENS, AttnContext
 
@@ -110,9 +111,15 @@ class Attention(nn.Module):
                 kh.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             ) * scale
+            # fp32 softmax, then materialize in the model dtype — exactly the
+            # reference's upcast_softmax path, which casts the probabilities
+            # back to the value dtype (fp16) before storing/editing/bmm
+            # (attention_register.py:39-45). In bf16 the probs tensors (the
+            # dominant HBM traffic of an edit step: [b*f*h, 1024, kv] per
+            # controlled site) cost half the bandwidth of fp32.
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             kv_len = probs.shape[-1]
-            probs5 = probs.reshape(b, f, self.heads, s_q, kv_len)
+            probs5 = probs.reshape(b, f, self.heads, s_q, kv_len).astype(self.dtype)
             probs5 = attn_ctx.process(probs5, place, is_cross)
             probs = probs5.reshape(b * f * self.heads, s_q, kv_len)
             # V-product in model dtype (the reference's half-precision bmm)
@@ -158,7 +165,7 @@ class SpatioTemporalTransformerBlock(nn.Module):
         place: Optional[str] = None,
     ) -> jax.Array:
         b, f = video_shape
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = FusedLayerNorm(dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
             heads=self.heads,
             dim_head=self.dim_head,
@@ -173,7 +180,7 @@ class SpatioTemporalTransformerBlock(nn.Module):
             sparse_indices=self.sparse_indices if self.use_sparse_causal else None,
         )
 
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = FusedLayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             heads=self.heads,
             dim_head=self.dim_head,
@@ -186,45 +193,62 @@ class SpatioTemporalTransformerBlock(nn.Module):
         from fatezero_tpu.models.layers import FeedForward
 
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
-            nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+            FusedLayerNorm(dtype=self.dtype, name="norm3")(x)
         )
 
         if self.temporal_attention and f > 1:
-            # per-pixel attention over the frame axis (attention.py:327-337)
-            bf, d, c = x.shape
-            xt = x.reshape(b, f, d, c).transpose(0, 2, 1, 3).reshape(b * d, f, c)
-            ht = nn.LayerNorm(dtype=self.dtype, name="norm_temporal")(xt)
-            at = TemporalAttention(
+            # per-pixel attention over the frame axis (attention.py:327-337).
+            # The residual stream stays in [(b f), d, c] layout — only
+            # q/k/v are regrouped per pixel inside TemporalAttention, so XLA
+            # does not propagate a frames-minor layout into the (large)
+            # residual adds of the whole block (measured: the explicit
+            # transpose here forced ~2 ms relayout fusions per residual add
+            # at the 64^2 level on a v5e).
+            ht = FusedLayerNorm(dtype=self.dtype, name="norm_temporal")(x)
+            x = x + TemporalAttention(
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dtype=self.dtype,
                 name="attn_temporal",
-            )(ht)
-            xt = xt + at
-            x = xt.reshape(b, d, f, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
+            )(ht, video_shape=(b, f))
         return x
 
 
 class TemporalAttention(nn.Module):
-    """Self-attention over frames with zero-init output projection
-    (reference zeroes attn_temporal.to_out: attention.py:224)."""
+    """Per-pixel self-attention over frames with zero-init output projection
+    (reference zeroes attn_temporal.to_out: attention.py:224).
+
+    Input/output [(b f), d, c] — the projections contract channels (layout
+    neutral) and the frame regrouping happens only on q/k/v inside the
+    attention einsums ([b, d, h, f, f] scores, f ~ 8), never on the residual
+    stream. fp32 softmax as in `xla_attention`.
+    """
 
     heads: int
     dim_head: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, video_shape: Tuple[int, int]) -> jax.Array:
+        b, f = video_shape
+        bf, d, c = x.shape
         inner = self.heads * self.dim_head
         scale = self.dim_head**-0.5
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        qh = _split_heads(q, self.heads)
-        kh = _split_heads(k, self.heads)
-        vh = _split_heads(v, self.heads)
-        out = fused_attention(qh, kh, vh, scale)
-        out = _merge_heads(out, self.heads)
+
+        def heads5(t):  # [(b f), d, h*e] -> [b, f, d, h, e]
+            return t.reshape(b, f, d, self.heads, self.dim_head)
+
+        q5 = heads5(q).astype(jnp.float32)
+        k5 = heads5(k).astype(jnp.float32)
+        s = jnp.einsum("bfdhe,bgdhe->bdhfg", q5, k5) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum(
+            "bdhfg,bgdhe->bfdhe", p, heads5(v).astype(jnp.float32)
+        ).astype(self.dtype)
+        out = out.reshape(bf, d, inner)
         return nn.Dense(
             inner, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="to_out"
         )(out)
@@ -261,7 +285,7 @@ class SpatioTemporalTransformerModel(nn.Module):
         # 'b c f h w -> (b f) c h w' before :112's norm) — normalizing over
         # the frame axis too would break parity with converted 2-D weights
         h = x.reshape(b * f, hh, ww, c)
-        h = nn.GroupNorm(
+        h = FusedGroupNorm(
             num_groups=self.norm_num_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )(h)
         h = nn.Dense(inner, dtype=self.dtype, name="proj_in")(h)  # 1x1 conv == dense

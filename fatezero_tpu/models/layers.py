@@ -8,6 +8,7 @@ TPU) with fp32 parameters.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -73,3 +74,50 @@ class FeedForward(nn.Module):
         x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
         x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
         return x
+
+
+class FusedLayerNorm(nn.Module):
+    """nn.LayerNorm drop-in (same 'scale'/'bias' params) with fp32 stats laid
+    out for XLA fusion (ops/fused_norm.py::_ln_math). epsilon defaults to
+    1e-5 — torch nn.LayerNorm's default, which the reference's transformer
+    blocks use (flax's default is 1e-6).
+
+    The Pallas LN kernel (ops/fused_norm.py::layer_norm) is kept behind
+    FZ_PALLAS_LN=1: standalone it reads/writes at HBM speed, but inside the
+    edit graph its custom-call boundary stops XLA from fusing the residual
+    adds into neighboring ops — measured net +8 ms/step on the v5e edit scan
+    — so the inlineable XLA formulation is the default."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from fatezero_tpu.ops.fused_norm import _ln_math, layer_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if os.environ.get("FZ_PALLAS_LN"):
+            return layer_norm(x, scale, bias, self.epsilon)
+        return _ln_math(x, scale, bias, self.epsilon)
+
+
+class FusedGroupNorm(nn.Module):
+    """nn.GroupNorm drop-in (same 'scale'/'bias' params) with the TPU-fast
+    stats formulation (ops/fused_norm.py). Input any [..., C]; stats are per
+    leading-axis sample over everything else, like flax/torch GroupNorm."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from fatezero_tpu.ops.fused_norm import group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        folded = x.reshape(x.shape[0], -1, c)
+        return group_norm(folded, scale, bias, self.num_groups, self.epsilon).reshape(x.shape)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import flax.linen as nn
+
+from fatezero_tpu.models.layers import FusedGroupNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -150,14 +152,14 @@ class ResnetBlockPseudo3D(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         in_channels = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = PseudoConv3d(self.out_channels, 3, lora_rank=self.lora_rank, dtype=self.dtype, name="conv1")(h)
 
         t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, None, :]
 
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = PseudoConv3d(self.out_channels, 3, lora_rank=self.lora_rank, dtype=self.dtype, name="conv2")(h)
 

@@ -28,14 +28,18 @@ import jax
 import jax.numpy as jnp
 
 from fatezero_tpu.models.attention import SpatioTemporalTransformerModel
-from fatezero_tpu.models.layers import TimestepEmbedding, get_timestep_embedding
+from fatezero_tpu.models.layers import (
+    FusedGroupNorm,
+    TimestepEmbedding,
+    get_timestep_embedding,
+)
 from fatezero_tpu.models.resnet import (
     DownsamplePseudo3D,
     PseudoConv3d,
     ResnetBlockPseudo3D,
     UpsamplePseudo3D,
 )
-from fatezero_tpu.ptp.context import AttnContext
+from fatezero_tpu.ptp.context import MAX_CONTROLLED_TOKENS, AttnContext
 
 
 @dataclasses.dataclass(frozen=True)
@@ -309,7 +313,19 @@ class UNetPseudo3DConditionModel(nn.Module):
         timesteps: jax.Array,
         encoder_hidden_states: jax.Array,
         attn_ctx: Optional[AttnContext] = None,
-    ) -> jax.Array:
+        drop_replay_rows: int = 0,
+    ) -> Optional[jax.Array]:
+        """drop_replay_rows (static): the first N batch rows exist only to
+        feed the controller's *stored/edited* attention maps (the inversion
+        replay — pipelines/fatezero_pipeline.py edit_fast). Up blocks whose
+        attention runs above MAX_CONTROLLED_TOKENS query tokens are never
+        stored or edited (reference attention_store.py:83,
+        attention_register.py:112-116), and up-block resolution only grows —
+        so once the first such block is reached those rows are dead weight
+        and are sliced off. If every row is a replay row (capture-only
+        forward) the remaining blocks are skipped entirely and ``None`` is
+        returned; the caller reads ``attn_ctx.captured``. At resolutions
+        where even the final up block is controlled, nothing is dropped."""
         cfg = self.cfg
         b = sample.shape[0]
         if jnp.ndim(timesteps) == 0:
@@ -369,8 +385,18 @@ class UNetPseudo3DConditionModel(nn.Module):
             x, temb, context, attn_ctx
         )
 
+        drop = drop_replay_rows if attn_ctx is not None else 0
         rev_channels = list(reversed(cfg.block_out_channels))
         for i, block_type in enumerate(cfg.up_block_types):
+            if drop and x.shape[2] * x.shape[3] > MAX_CONTROLLED_TOKENS:
+                # no controlled attention site from here on (see docstring)
+                if drop >= b:
+                    return None  # capture-only forward: maps are all captured
+                x = x[drop:]
+                temb = temb[drop:]
+                context = context[drop:]
+                res_stack = [r[drop:] for r in res_stack]
+                drop = 0
             is_final = i == num_blocks - 1
             t_up = i < (cfg.temporal_downsample_time - 1)
             out_ch = rev_channels[i]
@@ -396,7 +422,7 @@ class UNetPseudo3DConditionModel(nn.Module):
                     name=f"up_blocks_{i}",
                 )(x, skips, temb)
 
-        x = nn.GroupNorm(
+        x = FusedGroupNorm(
             num_groups=cfg.norm_num_groups, epsilon=cfg.norm_eps, dtype=self.dtype,
             name="conv_norm_out",
         )(x)

@@ -19,6 +19,8 @@ import dataclasses
 from typing import Any, Tuple
 
 import flax.linen as nn
+
+from fatezero_tpu.models.layers import FusedGroupNorm
 import jax
 import jax.numpy as jnp
 
@@ -41,10 +43,10 @@ class VAEResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if x.shape[-1] != self.out_channels:
@@ -64,7 +66,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         res = x
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        x = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="query")(x)
         k = nn.Dense(c, dtype=self.dtype, name="key")(x)
@@ -102,7 +104,7 @@ class Encoder(nn.Module):
         x = VAEResnetBlock(ch, g, self.dtype, name="mid_block_resnets_0")(x)
         x = VAEAttention(ch, g, self.dtype, name="mid_block_attentions_0")(x)
         x = VAEResnetBlock(ch, g, self.dtype, name="mid_block_resnets_1")(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = FusedGroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 
@@ -129,7 +131,7 @@ class Decoder(nn.Module):
                     ch, (3, 3), padding=1, dtype=self.dtype,
                     name=f"up_blocks_{i}_upsamplers_0_conv",
                 )(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
+        x = FusedGroupNorm(num_groups=g, epsilon=1e-6, dtype=self.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
 

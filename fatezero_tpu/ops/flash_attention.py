@@ -323,16 +323,20 @@ def flash_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float,
-    # measured on the v5e at SD shapes ([192, 4096, 40]): (256, 512) hits a
-    # 10x scheduling pathology (204 ms/call); every config with bigger
-    # blocks runs ~21 ms. (512, 2048) is within 6% of the best while keeping
-    # the f32 score block at 4 MB VMEM.
-    block_q: int = 512,
-    block_kv: int = 2048,
+    block_q: int | None = None,
+    block_kv: int | None = None,
 ) -> jax.Array:
     """Streaming attention: softmax(q k^T * scale) v without materializing scores.
 
     Differentiable (custom VJP with Pallas backward kernels).
+
+    Default blocks are shape-aware, from a traced-duration sweep on the v5e
+    at the SD video shapes: tiny-KV cross-attention ([192, 4096, 77->128]) is
+    grid-overhead-bound — one big query block runs 1.7x faster than 512-row
+    blocks — while large-KV self-attention ([192, 4096, 4096] at d 40) is
+    ~6%% faster streaming the full KV in a single pass (bkv=4096, 16 MB
+    fp32 score block in VMEM) than with 2048-row KV blocks. (256, 512)
+    blocks hit a 10x scheduling pathology — avoid tiny blocks.
 
     Args:
       q: [B, Sq, d]  (B folds batch*frames*heads)
@@ -340,6 +344,10 @@ def flash_attention(
       scale: logit scale (1/sqrt(head_dim), from the *unpadded* head dim)
     Returns [B, Sq, d].
     """
+    if block_q is None:
+        block_q = 4096 if k.shape[1] <= 256 else 1024
+    if block_kv is None:
+        block_kv = 4096
     return _flash(scale, block_q, block_kv, q, k, v)
 
 

@@ -1,0 +1,141 @@
+"""Fused Pallas LayerNorm / GroupNorm for TPU.
+
+Why: the XLA lowering of channel-last LayerNorm stats on video tensors
+([b*f, s, c] with the reduce over lanes and a transposed [s, b] stats layout)
+measures ~30 GB/s effective on the v5e — 27x below HBM speed — and the
+convert+reduce+normalize chain is ~14% of a UNet step (measured profile,
+PARITY.md). These kernels do stats + normalize + affine in one read pass and
+one write pass of the activation.
+
+Designs:
+  * layer_norm: a Pallas kernel — grid over row blocks of the [R, C] fold;
+    per-row mean/var in fp32 VMEM, normalize + affine in the same pass (one
+    read, one write). custom_vjp: backward = XLA autodiff of the reference
+    math (norms are a tiny share of the tuning step; inference is where the
+    bandwidth matters).
+  * group_norm: an XLA reformulation — one column-sum over the S axis (a
+    sublane reduction, HBM-speed) instead of flax's segmented 10-40-lane
+    cross-lane reduce; the group split happens on the tiny [B, C] result.
+    Stays plain XLA (differentiable as-is) because one sample's [S, C] fold
+    (8 frames x 64^2 x 320+) exceeds VMEM residency.
+
+Numerics: fp32 stats, E[x^2]-E[x]^2 variance — identical to flax.linen
+defaults (use_fast_variance=True).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_math(x, scale, bias, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gn_math(x, scale, bias, groups, eps):
+    # x [B, S, C]; stats per (sample, group) over (S, C/G)
+    b, s, c = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, groups, c // groups)
+    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, s, c)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+# ----------------------------------------------------------------- layer norm
+
+
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps, c):
+    x = x_ref[0].astype(jnp.float32)  # [rows, c]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    o_ref[0] = (y * scale_ref[0] + bias_ref[0]).astype(o_ref.dtype)
+
+
+def _ln_fwd_call(x, scale, bias, eps):
+    orig_shape = x.shape
+    c = orig_shape[-1]
+    x2 = x.reshape(-1, c)
+    r = x2.shape[0]
+    block_r = min(1024, ((r + 7) // 8) * 8)
+    grid = ((r + block_r - 1) // block_r,)
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps, c=c),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_r, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_r, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, r, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * r * c, bytes_accessed=2 * x2.size * x2.dtype.itemsize,
+            transcendentals=r,
+        ),
+    )(
+        x2[None],
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+    )
+    return out[0].reshape(orig_shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def layer_norm(x, scale, bias, eps=1e-5):
+    """LayerNorm over the last axis; x any rank, scale/bias [C]."""
+    if jax.default_backend() != "tpu":
+        return _ln_math(x, scale, bias, eps)
+    return _ln_fwd_call(x, scale, bias, eps)
+
+
+def _ln_vjp_fwd(x, scale, bias, eps):
+    return layer_norm(x, scale, bias, eps), (x, scale, bias)
+
+
+def _ln_vjp_bwd(eps, res, g):
+    x, scale, bias = res
+    _, vjp = jax.vjp(lambda x, s, b: _ln_math(x, s, b, eps), x, scale, bias)
+    return vjp(g)
+
+
+layer_norm.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
+
+
+# ----------------------------------------------------------------- group norm
+
+
+def group_norm(x, scale, bias, groups=32, eps=1e-5):
+    """GroupNorm; x [B, S, C] (S = folded spatial/frames), scale/bias [C].
+
+    Laid out for the TPU: flax's nn.GroupNorm lowers the (S, C/groups)
+    reduction as a segmented cross-lane reduce (C/groups = 10-40 lanes) with a
+    transposed stats layout — measured ~30 GB/s. This formulation first
+    column-sums over S (a sublane reduction at HBM speed), then does the
+    group split on the tiny [B, C] result, and normalizes in one fused
+    elementwise pass. Numerics identical (fp32 stats, E[x^2]-E[x]^2).
+    """
+    b, s, c = x.shape
+    xf = x.astype(jnp.float32)
+    colsum = jnp.sum(xf, axis=1)  # [B, C] — sublane reduce, fast
+    colsumsq = jnp.sum(jnp.square(xf), axis=1)
+    n = s * (c // groups)
+    gsum = colsum.reshape(b, groups, c // groups).sum(-1)  # [B, G] tiny
+    gsumsq = colsumsq.reshape(b, groups, c // groups).sum(-1)
+    gmean = gsum / n
+    grstd = jax.lax.rsqrt(gsumsq / n - jnp.square(gmean) + eps)
+    cmean = jnp.repeat(gmean, c // groups, axis=-1)[:, None, :]  # [B, 1, C]
+    crstd = jnp.repeat(grstd, c // groups, axis=-1)[:, None, :]
+    y = (xf - cmean) * crstd
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)

@@ -590,7 +590,13 @@ class FateZeroPipeline:
                     sctx = StoreContext(
                         save_self_attention=save_self, store_dtype=self.store_dtype
                     )
-                    self.unet.apply(params, lat, t, cond_src, attn_ctx=sctx)
+                    # capture-only: blocks above the controlled-token threshold
+                    # (and the output conv) contribute no stored maps and are
+                    # skipped entirely (unet3d.py drop_replay_rows)
+                    self.unet.apply(
+                        params, lat, t, cond_src, attn_ctx=sctx,
+                        drop_replay_rows=lat.shape[0],
+                    )
                     return sctx.captured
 
                 if use_latent_blend:
@@ -645,8 +651,15 @@ class FateZeroPipeline:
                         capture_for_blend=use_latent_blend,
                     )
                     lat_in = jnp.concatenate([rep_lat, latent, latent], axis=0)
-                    eps = self.unet.apply(params, lat_in, x["t"], text3, attn_ctx=ictx)
-                    eps = S.classifier_free_guidance(eps[1:2], eps[2:], guidance)
+                    # replay row 0 is dropped from the batch once no stored/
+                    # edited attention site remains (unet3d.py drop_replay_rows)
+                    eps = self.unet.apply(
+                        params, lat_in, x["t"], text3, attn_ctx=ictx,
+                        drop_replay_rows=1,
+                    )
+                    if eps.shape[0] == 3:  # low-res: nothing was droppable
+                        eps = eps[1:]
+                    eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
                     new_latent = S.ddim_denoise_step(
                         self.schedule, eps, x["t"], latent, steps
                     )

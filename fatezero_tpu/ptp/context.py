@@ -8,7 +8,8 @@ flow is re-architected as *trace-time* context objects:
 
   * A context is a plain Python object handed to the UNet's ``__call__``.
     Every controlled attention site calls ``ctx.process(probs, place,
-    is_cross)`` with its materialized fp32 probability map. The per-key
+    is_cross)`` with its materialized probability map (fp32 softmax cast to
+    the model dtype — the reference's upcast_softmax-then-fp16 behavior). The per-key
     position counters of the reference become trace-time list appends — the
     traced graph is pure; ordering is the static traversal order of the UNet.
   * ``StoreContext`` captures maps (inversion / 'save' edit type): the maps
@@ -49,7 +50,7 @@ class AttnContext:
     """Interface each controlled attention site calls. Base = no-op."""
 
     def process(self, probs: jax.Array, place: str, is_cross: bool) -> jax.Array:
-        """probs: [b, f, heads, s, kv] fp32. Returns (possibly edited) probs."""
+        """probs: [b, f, heads, s, kv] model dtype. Returns edited probs."""
         return probs
 
 
@@ -126,18 +127,20 @@ def replace_cross(
 
     attn_base: [f, h, s, 77] inversion map; attn_replace: [b=1, f, h, s, 77].
     """
+    dt = attn_base.dtype  # keep edits in the materialized dtype (no silent
+    # fp32 re-promotion: the probs tensors are the edit step's HBM traffic)
     if params.cross_edit_kind == "replace":
-        new = jnp.einsum("fhsw,bwn->bfhsn", attn_base, params.mapper)
+        new = jnp.einsum("fhsw,bwn->bfhsn", attn_base, params.mapper.astype(dt))
     elif params.cross_edit_kind == "refine":
         gathered = attn_base[..., params.refine_mapper[0]]  # [f, h, s, 77]
-        alphas = params.refine_alphas[0]  # [77]
+        alphas = params.refine_alphas[0].astype(dt)  # [77]
         new = (gathered * alphas + attn_replace[0] * (1.0 - alphas))[None]
     else:
         raise ValueError(params.cross_edit_kind)
     if params.equalizer is not None:
         # Reweight wraps replace/refine output (attention_util.py:282-286):
         # the reference multiplies the *base-derived* map by the equalizer.
-        new = new * params.equalizer[:, None, None, None, :]
+        new = new * params.equalizer.astype(dt)[:, None, None, None, :]
     return new
 
 
@@ -153,7 +156,8 @@ def replace_self(
     base = attn_base[None]
     if mask is None:
         return jnp.broadcast_to(base, attn_replace.shape)
-    return mask[None] * attn_replace + (1.0 - mask[None]) * base
+    m = mask[None].astype(attn_replace.dtype)
+    return m * attn_replace + (1.0 - m) * base
 
 
 class InlineEditContext(StoreContext):
@@ -195,7 +199,7 @@ class InlineEditContext(StoreContext):
         rep, uncond, cond = probs[:1], probs[1:2], probs[2:]
         if is_cross:
             new = replace_cross(base, cond, self.params)
-            aw = self.alpha_words
+            aw = self.alpha_words.astype(cond.dtype)
             cond = new * aw + (1.0 - aw) * cond
         elif self.params.self_gate is not None:
             mask = None
@@ -257,7 +261,7 @@ class EditContext(StoreContext):
         if is_cross:
             new = replace_cross(base(), cond, self.params)
             # time/word schedule mix (attention_util.py:129-132)
-            aw = self.alpha_words  # [1, 1, 1, 77] -> broadcasts over [1,f,h,s,77]
+            aw = self.alpha_words.astype(cond.dtype)  # broadcasts over [1,f,h,s,77]
             cond = new * aw + (1.0 - aw) * cond
         elif self.params.self_gate is not None:
             mask = None
