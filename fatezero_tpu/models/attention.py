@@ -100,6 +100,15 @@ class Attention(nn.Module):
         )
         if controlled:
             b, f = video_shape
+            # probability-free fast path (InlineEditContext.value_space_attention):
+            # linear edit ops are pushed into the values so the whole site runs
+            # through the flash kernel — None falls back to materialization
+            fast = attn_ctx.value_space_attention(
+                qh, kh, vh, scale, place, is_cross, (b, f)
+            )
+            if fast is not None:
+                out = _merge_heads(fast.astype(self.dtype), self.heads)
+                return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
             # materialized probabilities — the semantic payload the
             # store/editor operates on (attention_register.py:28-51).
             # upcast_softmax semantics (attention_register.py:24-41): the

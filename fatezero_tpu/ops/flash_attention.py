@@ -76,8 +76,12 @@ def _mask_block(x: jax.Array, d: int, n_rows: int, row0) -> jax.Array:
 # --------------------------------------------------------------------- forward
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, kv_len, block_kv):
-    """One (batch*head, q-block) program: stream KV blocks with online softmax."""
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, dv, kv_len, block_kv):
+    """One (batch*head, q-block) program: stream KV blocks with online softmax.
+
+    dv is the value head dim — it may differ from d (the prompt-to-prompt
+    value-space edit rides a double-wide V through one softmax pass,
+    ptp/context.py::value_space_attention)."""
     q = _mask_lanes(q_ref[0].astype(jnp.float32), d) * scale  # [bq, dp]
     bq = q.shape[0]
     num_kv = k_ref.shape[1] // block_kv
@@ -89,7 +93,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, kv_len, block_
         acc, m, l = carry
         row0 = i * block_kv
         k = _mask_block(k_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
-        v = _mask_block(v_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), d, kv_rows, row0)
+        v = _mask_block(v_ref[0, pl.ds(row0, block_kv), :].astype(jnp.float32), dv, kv_rows, row0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
@@ -105,7 +109,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, kv_len, block_
         )
         return acc_new, m_new, l_new
 
-    acc = jnp.zeros(q.shape, jnp.float32)
+    acc = jnp.zeros((bq, v_ref.shape[-1]), jnp.float32)
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m, l))
@@ -117,16 +121,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, d, kv_len, block_
 def _fwd_call(q, k, v, scale, block_q, block_kv, with_lse):
     B, sq, d = q.shape
     skv = k.shape[1]
+    dv = v.shape[-1]  # may exceed d (value-space edit: double-wide V)
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(skv, 128))
     d_pad = _round_up(d, LANES)
+    dv_pad = _round_up(dv, LANES)
     sq_pad = _round_up(sq, block_q)
     skv_pad = _round_up(skv, block_kv)
 
     grid = (B, sq_pad // block_q)
-    out_shape = [jax.ShapeDtypeStruct((B, sq, d), q.dtype)]
+    out_shape = [jax.ShapeDtypeStruct((B, sq, dv), q.dtype)]
     out_specs = [
-        pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, block_q, dv_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
     ]
     if with_lse:
         out_shape.append(jax.ShapeDtypeStruct((B, sq, LANES), jnp.float32))
@@ -134,7 +140,7 @@ def _fwd_call(q, k, v, scale, block_q, block_kv, with_lse):
             pl.BlockSpec((1, block_q, LANES), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
         )
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, d=d, kv_len=skv, block_kv=block_kv
+        _fwd_kernel, scale=scale, d=d, dv=dv, kv_len=skv, block_kv=block_kv
     )
     if not with_lse:
         kernel = functools.partial(lambda f, *refs: f(*refs, None), kernel)
@@ -144,13 +150,13 @@ def _fwd_call(q, k, v, scale, block_q, block_kv, with_lse):
         in_specs=[
             pl.BlockSpec((1, block_q, d_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, d_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, dv_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * sq_pad * skv_pad * d_pad,
+            flops=2 * B * sq_pad * skv_pad * (d_pad + dv_pad),
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=B * sq_pad * skv_pad,
         ),
@@ -243,6 +249,11 @@ def _dkv_kernel(
 
 def _bwd_call(q, k, v, o, lse, do, scale, block_q, block_kv):
     B, sq, d = q.shape
+    if v.shape[-1] != d:
+        raise NotImplementedError(
+            "flash_attention backward requires matching q/v head dims; the "
+            "wide-V forward (value-space edit) is an inference-only path"
+        )
     skv = k.shape[1]
     block_q = min(block_q, _round_up(sq, 128))
     block_kv = min(block_kv, _round_up(skv, 128))

@@ -53,6 +53,14 @@ class AttnContext:
         """probs: [b, f, heads, s, kv] model dtype. Returns edited probs."""
         return probs
 
+    def value_space_attention(
+        self, qh, kh, vh, scale, place, is_cross, video_shape
+    ) -> Optional[jax.Array]:
+        """Optional fast path: compute the site's (edited) attention output
+        directly from q/k/v without materializing probabilities. Returns the
+        output [(b f h), s, d] or None to request the materialized path."""
+        return None
+
 
 NoopContext = AttnContext
 
@@ -187,6 +195,108 @@ class InlineEditContext(StoreContext):
         self.alpha_words = alpha_words
         self.capture_for_blend = capture_for_blend
         self.captured_inv: Dict[str, List[jax.Array]] = {k: [] for k in STORE_KEYS}
+
+    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+        """Probability-free edit: every inline edit op (cross replace/refine,
+        reweight equalizer, alpha-time-word mix, maskless self swap) acts
+        LINEARLY on the probabilities along the kv axis, so it commutes with
+        the @V product:
+
+            edited(P_cond) @ V_cond = P_rep @ (M @ V_cond) + P_cond @ (w * V_cond)
+
+        with a tiny [kv, kv] matrix M (gather/mapper x per-token weights) and
+        a per-token weight vector w. Both terms are then STANDARD attention
+        with value-transformed inputs — they run through the flash kernel
+        with fp32 softmax in VMEM, and no [*, s, kv] probability tensor ever
+        touches HBM (the dominant HBM traffic of an edit step at the 32^2
+        sites). Falls back to the materialized path (returns None) when maps
+        must actually be captured (capture_for_blend cross sites) or when a
+        spatial self-mask applies (blend_self_attention => two-pass path).
+
+        Derivation for refine (attention_util.py:241-272 + 129-132 of the
+        reference; replace analogous):
+            new  = (P_rep[:, mapper] * alpha + P_cond * (1-alpha)) * eq
+            cond = new * aw + (1-aw) * P_cond
+                 = P_rep @ (E @ diag(alpha*eq*aw)) + P_cond * ((1-alpha)*eq*aw + (1-aw))
+        with E[i, n] = [mapper[n] == i].
+        """
+        from fatezero_tpu.ops.flash_attention import fused_attention
+
+        b, f = video_shape
+        if b != 3:
+            return None
+        p = self.params
+        if is_cross and self.capture_for_blend:
+            return None  # blend masks need the materialized cross maps
+        if not is_cross and p.self_masks is not None:
+            return None
+        bh = qh.shape[0] // 3
+        d = qh.shape[-1]
+        q3 = qh.reshape(3, bh, *qh.shape[1:])
+        k3 = kh.reshape(3, bh, *kh.shape[1:])
+        v3 = vh.reshape(3, bh, *vh.shape[1:])
+
+        if is_cross:
+            kv = kh.shape[1]
+            # alpha_words arrives as [1, 1, kv] (per-scan-step slice) — a
+            # per-kv-token weight vector
+            aw = jnp.broadcast_to(
+                self.alpha_words.astype(jnp.float32).reshape(-1), (kv,)
+            )
+            eq = (
+                p.equalizer[0].astype(jnp.float32)
+                if p.equalizer is not None
+                else jnp.ones((kv,), jnp.float32)
+            )
+            v_c = v3[2]
+            if p.cross_edit_kind == "refine":
+                al = p.refine_alphas[0].astype(jnp.float32)
+                w1 = al * eq * aw
+                w2 = (1.0 - al) * eq * aw + (1.0 - aw)
+                # E[i, n] = [mapper[n] == i]; term1 = P_rep @ (E @ diag(w1) @ V)
+                E = (
+                    jnp.arange(kv)[:, None] == p.refine_mapper[0][None, :]
+                ).astype(jnp.float32)
+                m1 = E * w1[None, :]
+            else:  # replace: cond = P_rep @ mapper * eq * aw + (1-aw) * P_cond
+                w2 = 1.0 - aw
+                m1 = p.mapper[0].astype(jnp.float32) * (eq * aw)[None, :]
+            v1 = jnp.einsum("wn,bnd->bwd", m1.astype(v_c.dtype), v_c)
+            rep2 = fused_attention(
+                q3[0], k3[0], jnp.concatenate([v3[0], v1], axis=-1), scale
+            )
+            out_rep, term1 = rep2[..., :d], rep2[..., d:]
+            v2 = v_c * w2[None, :, None].astype(v_c.dtype)
+            uc = fused_attention(
+                jnp.concatenate([q3[1], q3[2]], axis=0),
+                jnp.concatenate([k3[1], k3[2]], axis=0),
+                jnp.concatenate([v3[1], v2], axis=0),
+                scale,
+            )
+            out_unc, term2 = uc[:bh], uc[bh:]
+            out_cond = term1 + term2
+        else:
+            if p.self_gate is not None:
+                g = p.self_gate
+            elif p.self_replace_active:
+                g = 1.0
+            else:  # no swap at this site: three independent plain attentions
+                return fused_attention(qh, kh, vh, scale)
+            # swap: cond probs replaced by rep probs => P_rep @ V_cond
+            rep2 = fused_attention(
+                q3[0], k3[0], jnp.concatenate([v3[0], v3[2]], axis=-1), scale
+            )
+            out_rep, swapped = rep2[..., :d], rep2[..., d:]
+            uc = fused_attention(
+                jnp.concatenate([q3[1], q3[2]], axis=0),
+                jnp.concatenate([k3[1], k3[2]], axis=0),
+                jnp.concatenate([v3[1], v3[2]], axis=0),
+                scale,
+            )
+            out_unc, out_live = uc[:bh], uc[bh:]
+            g = jnp.asarray(g, jnp.float32).astype(out_live.dtype)
+            out_cond = g * swapped + (1.0 - g) * out_live
+        return jnp.concatenate([out_rep, out_unc, out_cond], axis=0)
 
     def process(self, probs, place, is_cross):
         if probs.shape[-2] > MAX_CONTROLLED_TOKENS or probs.shape[0] < 3:

@@ -81,3 +81,19 @@ def test_bf16_io():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
     )
+
+
+@pytest.mark.parametrize("sq,skv,d", [(256, 256, 40), (300, 520, 80)])
+def test_wide_value_dim(sq, skv, d):
+    """dv = 2*d: the value-space edit concatenates two value tensors through
+    one softmax pass (ptp/context.py::value_space_attention)."""
+    kq, kk, kv_ = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(kq, (2, sq, d), jnp.float32)
+    k = jax.random.normal(kk, (2, skv, d), jnp.float32)
+    v = jax.random.normal(kv_, (2, skv, 2 * d), jnp.float32)
+    scale = d**-0.5
+    s = jnp.einsum("bsd,btd->bst", q, k) * scale
+    ref = jnp.einsum("bst,btd->bsd", jax.nn.softmax(s, axis=-1), v)
+    out = FA.flash_attention(q, k, v, scale, block_q=128, block_kv=256)
+    assert out.shape == (2, sq, 2 * d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
