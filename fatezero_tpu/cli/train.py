@@ -121,21 +121,60 @@ def train(
         log.info("resumed optimizer state at step %d from %s", start_step, resume_from)
     rng = jax.random.PRNGKey(seed)
 
-    losses = []
-    for step in range(start_step + 1, train_steps + 1):
-        sample = dataset[step % max(len(dataset), 1)]
-        images = jnp.asarray(sample["images"])
-        class_images = (
-            jnp.asarray(sample["class_images"])[None]
-            if "class_images" in sample
+    # Fused training path: the one-shot workload (one clip window, no class
+    # stream) keeps its pixels device-resident and runs whole chunks of
+    # update steps as ONE lax.scan dispatch (random crop on device) —
+    # per-step host round trips are pure overhead (measured 13.1 s wall vs
+    # 0.51 s device compute per step at 512^2 x 8f over a remote-TPU link).
+    fused = dataset.video_len == 1 and not dataset.class_images_path
+    if fused:
+        frames_dev = jnp.asarray(dataset.scaled_frames(0))
+        crop = (
+            (dataset.image_size, dataset.image_size)
+            if frames_dev.shape[1:3] != (dataset.image_size, dataset.image_size)
+            and dataset.crop == "random"
             else None
         )
-        rng, sub = jax.random.split(rng)
-        state, loss = trainer.step(
-            state, images, emb, sub, class_images, class_emb
+        if crop is None and frames_dev.shape[1:3] != (dataset.image_size, dataset.image_size):
+            # center crop once on host
+            from fatezero_tpu.data import transform as T
+
+            frames_dev = jnp.asarray(
+                T.center_crop(
+                    np.asarray(frames_dev), dataset.image_size, dataset.image_size
+                )
+            )
+        boundary = min(
+            x for x in (validation_steps or train_steps, checkpointing_steps or train_steps, 50)
         )
-        losses.append(float(loss))
-        if step % 10 == 0 or step == train_steps:
+
+    losses = []
+    step = start_step
+    while step < train_steps:
+        if fused:
+            n = min(boundary - (step % boundary) if boundary else train_steps,
+                    train_steps - step)
+            rng, sub = jax.random.split(rng)
+            state, chunk_losses = trainer.run_steps(
+                state, frames_dev, emb, sub, n, crop=crop
+            )
+            losses.extend(np.asarray(chunk_losses, np.float32).tolist())
+            step += n
+        else:
+            step += 1
+            sample = dataset[step % max(len(dataset), 1)]
+            images = jnp.asarray(sample["images"])
+            class_images = (
+                jnp.asarray(sample["class_images"])[None]
+                if "class_images" in sample
+                else None
+            )
+            rng, sub = jax.random.split(rng)
+            state, loss = trainer.step(
+                state, images, emb, sub, class_images, class_emb
+            )
+            losses.append(float(loss))
+        if step % 10 == 0 or step == train_steps or fused:
             log.info("step %d/%d loss %.5f", step, train_steps, np.mean(losses[-10:]))
 
         if validation_steps and step % validation_steps == 0:

@@ -109,6 +109,20 @@ class ImageSequenceDataset:
             frames = T.center_crop(frames, self.image_size, self.image_size)
         return T.to_tensor_range(frames)
 
+    def scaled_frames(self, index: int = 0) -> np.ndarray:
+        """The clip after every step-invariant transform (offset crop +
+        short-side scale + [-1,1]) but BEFORE the final spatial crop.
+
+        Feeds the fused tuning scan (trainer/ddpm_trainer.py::run_steps):
+        the one-shot workload trains on one clip, so these pixels are
+        uploaded to the device once and the per-step random crop runs inside
+        the scan — the host touches nothing per step.
+        """
+        frames = self._load_frames(self._frame_indices(index % self.video_len))
+        frames = T.offset_crop(frames, **self.offset)
+        frames = T.short_size_scale(frames, self.image_size)
+        return T.to_tensor_range(frames)
+
     def _native_fast_path(self, indices: List[int]):
         """Decode+resize+crop in C++ (fatezero_tpu/native) when it is exactly
         equivalent to the Python path: no offset crop, center crop, and no

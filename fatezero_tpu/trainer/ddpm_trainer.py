@@ -157,6 +157,7 @@ class DDPMTrainer:
             inner = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
         self.tx_inner = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
         self._step_fn = None
+        self._run_cache: Dict[Any, Any] = {}
 
     def init_state(self, unet_params) -> Dict[str, Any]:
         mask = trainable_mask(
@@ -187,53 +188,115 @@ class DDPMTrainer:
             raise ValueError(self.schedule.prediction_type)
         return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
 
+    def _update(self, state, vae_params, images, text_emb, rng, class_images, class_text_emb):
+        """One traced parameter update (shared by `step` and the fused scan)."""
+        rng_t, rng_n, rng_vae, rng2 = jax.random.split(rng, 4)
+
+        def encode(px):
+            mean, logvar = self.vae.apply(vae_params, px, method="encode")
+            z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng_vae, mean.shape, mean.dtype
+            )
+            return z * VAE_SCALE
+
+        latents = encode(images)[None]  # [1, f, h, w, 4]
+        t = jax.random.randint(
+            rng_t, (1,), 0, self.schedule.num_train_timesteps
+        )
+        noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
+
+        def total_loss(p):
+            loss = self._loss(p, latents, text_emb, noise, t)
+            if self.prior_preservation is not None and class_images is not None:
+                # 2-D regularization branch (ddpm_trainer.py:113-175)
+                lat2 = encode(class_images)[:, None]  # [b, 1, h, w, 4]
+                rng_t2, rng_n2 = jax.random.split(rng2)
+                t2 = jax.random.randint(
+                    rng_t2, (lat2.shape[0],), 0, self.schedule.num_train_timesteps
+                )
+                n2 = jax.random.normal(rng_n2, lat2.shape, lat2.dtype)
+                loss2 = self._loss(p, lat2, class_text_emb, n2, t2)
+                loss = loss + self.prior_preservation * loss2
+            return loss
+
+        loss, grads = jax.value_and_grad(total_loss)(state["params"])
+        updates, opt_state = self.tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, loss
+
     def _make_step(self):
         # vae_params as an explicit argument: closure-captured params become
         # HLO-inlined constants (huge compile requests/executables)
         @jax.jit
         def train_step(state, vae_params, images, text_emb, rng, class_images, class_text_emb):
-            rng_t, rng_n, rng_vae, rng2 = jax.random.split(rng, 4)
-
-            def encode(px):
-                mean, logvar = self.vae.apply(vae_params, px, method="encode")
-                z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-                    rng_vae, mean.shape, mean.dtype
-                )
-                return z * VAE_SCALE
-
-            latents = encode(images)[None]  # [1, f, h, w, 4]
-            t = jax.random.randint(
-                rng_t, (1,), 0, self.schedule.num_train_timesteps
+            return self._update(
+                state, vae_params, images, text_emb, rng, class_images, class_text_emb
             )
-            noise = jax.random.normal(rng_n, latents.shape, latents.dtype)
-
-            def total_loss(p):
-                loss = self._loss(p, latents, text_emb, noise, t)
-                if self.prior_preservation is not None and class_images is not None:
-                    # 2-D regularization branch (ddpm_trainer.py:113-175)
-                    lat2 = encode(class_images)[:, None]  # [b, 1, h, w, 4]
-                    rng_t2, rng_n2 = jax.random.split(rng2)
-                    t2 = jax.random.randint(
-                        rng_t2, (lat2.shape[0],), 0, self.schedule.num_train_timesteps
-                    )
-                    n2 = jax.random.normal(rng_n2, lat2.shape, lat2.dtype)
-                    loss2 = self._loss(p, lat2, class_text_emb, n2, t2)
-                    loss = loss + self.prior_preservation * loss2
-                return loss
-
-            loss, grads = jax.value_and_grad(total_loss)(state["params"])
-            updates, opt_state = self.tx.update(
-                grads, state["opt_state"], state["params"]
-            )
-            params = optax.apply_updates(state["params"], updates)
-            new_state = {
-                "params": params,
-                "opt_state": opt_state,
-                "step": state["step"] + 1,
-            }
-            return new_state, loss
 
         return train_step
+
+    def _make_run(self, num_steps: int, crop: Optional[Tuple[int, int]]):
+        @jax.jit
+        def run(state, vae_params, frames, text_emb, rng, class_images, class_text_emb):
+            def body(carry, _):
+                st, r = carry
+                r, r_top, r_left, sub = jax.random.split(r, 4)
+                images = frames
+                if crop is not None:
+                    # on-device random crop (data/transform.py::random_crop
+                    # semantics: independent uniform top/left corner)
+                    ch, cw = crop
+                    f, h, w, _ = frames.shape
+                    top = jax.random.randint(r_top, (), 0, h - ch + 1)
+                    left = jax.random.randint(r_left, (), 0, w - cw + 1)
+                    images = jax.lax.dynamic_slice(
+                        frames, (0, top, left, 0), (f, ch, cw, frames.shape[-1])
+                    )
+                st, loss = self._update(
+                    st, vae_params, images, text_emb, sub, class_images, class_text_emb
+                )
+                return (st, r), loss
+
+            (state, _), losses = jax.lax.scan(body, (state, rng), None, length=num_steps)
+            return state, losses
+
+        return run
+
+    def run_steps(
+        self,
+        state,
+        frames,
+        text_emb,
+        rng,
+        num_steps: int,
+        crop: Optional[Tuple[int, int]] = None,
+        class_images=None,
+        class_text_emb=None,
+    ) -> Tuple[Dict[str, Any], jax.Array]:
+        """`num_steps` updates fused into ONE dispatch (a jitted lax.scan).
+
+        The one-shot tuning loop trains on the same video every step
+        (reference train_tune_a_video.py:333-346 with a 1-clip dataset), so
+        the host<->device boundary per step carries only dispatch overhead —
+        measured 13.1 s wall vs 0.51 s device compute per step at 512^2 x 8f
+        through the remote-TPU relay. Fusing the loop removes that overhead
+        and keeps the pixels device-resident: `frames` [f, H, W, 3] is the
+        offset-cropped/scaled clip; per-step random cropping to `crop`
+        (h, w) happens on device inside the scan. Returns per-step losses.
+        """
+        key = ("run", num_steps, crop, frames.shape, class_images is not None)
+        if key not in self._run_cache:
+            self._run_cache[key] = self._make_run(num_steps, crop)
+        return self._run_cache[key](
+            state, self.vae_params, frames, text_emb, rng, class_images, class_text_emb
+        )
 
     def step(
         self,

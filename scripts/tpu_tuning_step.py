@@ -57,11 +57,24 @@ def main():
     loss.block_until_ready()
     per_step = (time.perf_counter() - t0) / steps
     assert jnp.isfinite(loss), f"non-finite loss {loss}"
+
+    # fused path (trainer.run_steps): N updates per dispatch — the per-step
+    # wall above is dominated by per-dispatch overhead over the remote link
+    # (device compute is ~0.5 s/step); the fused scan amortizes it away
+    n_fused = int(os.environ.get("TUNE_FUSED_STEPS", 10))
+    state, fl = trainer.run_steps(state, images, emb, jax.random.PRNGKey(5), n_fused)
+    jax.block_until_ready(fl)  # warm/compile
+    t0 = time.perf_counter()
+    state, fl = trainer.run_steps(state, images, emb, jax.random.PRNGKey(6), n_fused)
+    jax.block_until_ready(fl)
+    per_step_fused = (time.perf_counter() - t0) / n_fused
+    assert bool(jnp.all(jnp.isfinite(fl)))
     mem = jax.local_devices()[0].memory_stats() or {}  # None through the axon tunnel
     peak = mem.get("peak_bytes_in_use", 0) / 2**30
     print(
         f"TPU TUNING STEP OK: {FRAMES}f x {RES}^2, loss={float(loss):.5f}, "
         f"step={per_step:.2f}s (first call incl. compile {compile_s:.1f}s), "
+        f"fused x{n_fused}: {per_step_fused:.2f}s/step, "
         f"peak HBM {peak:.2f} GiB"
     )
 

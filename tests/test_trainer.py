@@ -60,3 +60,49 @@ def test_freeze_mask_and_stability():
         )
     )
     assert max_delta < 0.05, max_delta
+
+
+def test_run_steps_fused_scan_matches_step_semantics():
+    """run_steps = N updates in one lax.scan dispatch: frozen params stay
+    bit-frozen, per-step losses are finite, on-device random crop crops to
+    the configured size, and the whole call is deterministic in rng."""
+    b = load_models("random:tiny", {}, seed=0)
+    pipe = FateZeroPipeline(
+        b.unet, b.unet_params, b.vae, b.vae_params,
+        b.text_encoder, b.text_params, b.tokenizer,
+    )
+    frames = jax.random.uniform(jax.random.PRNGKey(0), (4, 80, 96, 3)) * 2 - 1
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 32))
+    trainer = DDPMTrainer(
+        b.unet, b.vae, pipe.vae_params, b.text_encoder, pipe.text_params,
+        learning_rate=1e-3, train_temporal_conv=True,
+    )
+    state = trainer.init_state(pipe.unet_params)
+    before = jax.tree.map(np.asarray, state["params"])
+
+    new_state, losses = trainer.run_steps(
+        state, frames, emb, jax.random.PRNGKey(7), 3, crop=(64, 64)
+    )
+    assert losses.shape == (3,) and bool(jnp.all(jnp.isfinite(losses)))
+    assert int(new_state["step"]) == 3
+
+    mask = trainable_mask(before, train_temporal_conv=True)
+    for (kp, old), new, m in zip(
+        jax.tree_util.tree_flatten_with_path(before)[0],
+        jax.tree.leaves(new_state["params"]),
+        jax.tree.leaves(mask),
+    ):
+        if not m:
+            np.testing.assert_array_equal(np.asarray(new), old)
+
+    # deterministic: same rng => same losses
+    _, losses2 = trainer.run_steps(
+        state, frames, emb, jax.random.PRNGKey(7), 3, crop=(64, 64)
+    )
+    np.testing.assert_array_equal(np.asarray(losses), np.asarray(losses2))
+
+    # without crop (frames already at target size) it also runs
+    _, l3 = trainer.run_steps(
+        state, frames[:, :64, :64], emb, jax.random.PRNGKey(8), 2
+    )
+    assert l3.shape == (2,) and bool(jnp.all(jnp.isfinite(l3)))
