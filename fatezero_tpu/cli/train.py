@@ -144,16 +144,18 @@ def train(
                     np.asarray(frames_dev), dataset.image_size, dataset.image_size
                 )
             )
-        boundary = min(
-            x for x in (validation_steps or train_steps, checkpointing_steps or train_steps, 50)
-        )
+        # each chunk must stop at the NEXT multiple of every active period
+        # (validation, checkpointing) — aligning to min() alone skips events
+        # whose period is not a multiple of it
+        periods = [p for p in (validation_steps, checkpointing_steps) if p]
 
     losses = []
     step = start_step
     while step < train_steps:
         if fused:
-            n = min(boundary - (step % boundary) if boundary else train_steps,
-                    train_steps - step)
+            n = min(
+                [p - step % p for p in periods] + [50, train_steps - step]
+            )
             rng, sub = jax.random.split(rng)
             state, chunk_losses = trainer.run_steps(
                 state, frames_dev, emb, sub, n, crop=crop

@@ -106,9 +106,9 @@ class Attention(nn.Module):
             fast = attn_ctx.value_space_attention(
                 qh, kh, vh, scale, place, is_cross, (b, f)
             )
-            if fast is not None:
-                out = _merge_heads(fast.astype(self.dtype), self.heads)
-                return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+        if controlled and fast is not None:
+            out = fast.astype(self.dtype)
+        elif controlled:
             # materialized probabilities — the semantic payload the
             # store/editor operates on (attention_register.py:28-51).
             # upcast_softmax semantics (attention_register.py:24-41): the

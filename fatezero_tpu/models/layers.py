@@ -99,8 +99,8 @@ class FusedLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if os.environ.get("FZ_PALLAS_LN"):
-            return layer_norm(x, scale, bias, self.epsilon)
-        return _ln_math(x, scale, bias, self.epsilon)
+            return layer_norm(x, scale, bias, self.epsilon).astype(self.dtype)
+        return _ln_math(x, scale, bias, self.epsilon).astype(self.dtype)
 
 
 class FusedGroupNorm(nn.Module):
@@ -120,4 +120,5 @@ class FusedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         folded = x.reshape(x.shape[0], -1, c)
-        return group_norm(folded, scale, bias, self.num_groups, self.epsilon).reshape(x.shape)
+        out = group_norm(folded, scale, bias, self.num_groups, self.epsilon)
+        return out.reshape(x.shape).astype(self.dtype)

@@ -41,20 +41,10 @@ def _ln_math(x, scale, bias, eps):
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
 
-def _gn_math(x, scale, bias, groups, eps):
-    # x [B, S, C]; stats per (sample, group) over (S, C/G)
-    b, s, c = x.shape
-    xf = x.astype(jnp.float32).reshape(b, s, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=(1, 3), keepdims=True) - jnp.square(mean)
-    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).reshape(b, s, c)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
-
-
 # ----------------------------------------------------------------- layer norm
 
 
-def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps, c):
+def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps):
     x = x_ref[0].astype(jnp.float32)  # [rows, c]
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
@@ -70,7 +60,7 @@ def _ln_fwd_call(x, scale, bias, eps):
     block_r = min(1024, ((r + 7) // 8) * 8)
     grid = ((r + block_r - 1) // block_r,)
     out = pl.pallas_call(
-        functools.partial(_ln_kernel, eps=eps, c=c),
+        functools.partial(_ln_kernel, eps=eps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_r, c), lambda i: (0, i, 0), memory_space=pltpu.VMEM),

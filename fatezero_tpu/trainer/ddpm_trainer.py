@@ -290,6 +290,11 @@ class DDPMTrainer:
         and keeps the pixels device-resident: `frames` [f, H, W, 3] is the
         offset-cropped/scaled clip; per-step random cropping to `crop`
         (h, w) happens on device inside the scan. Returns per-step losses.
+
+        Each distinct `num_steps` compiles its own scan executable (cached);
+        callers should align chunk lengths to event boundaries so only a few
+        distinct lengths occur (cli/train.py stops each chunk at the next
+        validation/checkpoint multiple).
         """
         key = ("run", num_steps, crop, frames.shape, class_images is not None)
         if key not in self._run_cache:

@@ -81,8 +81,8 @@ def test_group_norm_video_fold_matches_reference_semantics():
     frames, exactly torch GroupNorm on the reference's 5-D 'b c f h w'
     (resnet.py:338)."""
     x = jax.random.normal(jax.random.PRNGKey(7), (2, 3, 8, 8, 32))
-    mod = FusedGroupNorm(num_groups=4)
+    mod = FusedGroupNorm(num_groups=4, epsilon=1e-5)
     p = mod.init(jax.random.PRNGKey(0), x)
     out = mod.apply(p, x)
-    ref = nn.GroupNorm(num_groups=4).apply(p, x.reshape(2, -1, 32)).reshape(x.shape)
+    ref = nn.GroupNorm(num_groups=4, epsilon=1e-5).apply(p, x.reshape(2, -1, 32)).reshape(x.shape)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
