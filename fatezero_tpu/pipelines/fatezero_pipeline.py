@@ -50,15 +50,21 @@ def _blend_maps_16(captured: Dict[str, List], latent_hw: int) -> List:
     return maps
 
 
-def _build_self_masks(injected: Dict[str, List], attn_alpha, attn_th, latent_hw: int):
+def _build_self_masks(injected: Dict[str, List], attn_alpha, attn_th, latent_hw: int,
+                      self_sizes=None):
     """Per-resolution binary masks for the self-attention swap, from the
     inversion step's mid-res cross maps, source prompt only
-    (attention_util.py:136-151). Returns ({s_tokens: [f, 1, s, 1]}, viz)."""
+    (attention_util.py:136-151). Returns ({s_tokens: [f, 1, s, 1]}, viz).
+
+    self_sizes: explicit query-token sizes of the self sites (used when the
+    store holds (q, k) pairs rather than probability maps)."""
     maps16 = [m.astype(jnp.float32) for m in _blend_maps_16(injected, latent_hw)]
     f = maps16[0].shape[1]
     self_masks = {}
     s_set = sorted(
-        {
+        self_sizes
+        if self_sizes is not None
+        else {
             int(m.shape[-2])
             for k in ("down_self", "mid_self", "up_self")
             for m in injected.get(k, [])
@@ -587,8 +593,14 @@ class FateZeroPipeline:
                 blend_lats = traj[jnp.asarray(blend_idx)] if use_latent_blend else None
 
                 def capture(lat, t):
+                    # self sites capture (q, k) instead of probabilities —
+                    # the edit forward rematerializes the swap through the
+                    # flash kernel (EditContext.value_space_attention), so
+                    # neither pass materializes [*, s, kv] self maps
                     sctx = StoreContext(
-                        save_self_attention=save_self, store_dtype=self.store_dtype
+                        save_self_attention=False,
+                        store_dtype=self.store_dtype,
+                        self_qk=save_self,
                     )
                     # capture-only: blocks above the controlled-token threshold
                     # (and the output conv) contribute no stored maps and are
@@ -597,10 +609,10 @@ class FateZeroPipeline:
                         params, lat, t, cond_src, attn_ctx=sctx,
                         drop_replay_rows=lat.shape[0],
                     )
-                    return sctx.captured
+                    return sctx.captured, sctx.captured_qk
 
                 if use_latent_blend:
-                    inj_shapes = jax.eval_shape(
+                    inj_shapes, _ = jax.eval_shape(
                         capture, traj[0], jnp.int32(timesteps[0])
                     )
                     sums0 = [
@@ -675,11 +687,17 @@ class FateZeroPipeline:
                 def body(carry, x):
                     latent, sums = carry
                     rep_lat, blend_lat, x = x
-                    injected = capture(rep_lat, x["replay_t"])
+                    injected, injected_qk = capture(rep_lat, x["replay_t"])
                     self_masks = mask_viz = None
                     if use_attn_blend:
+                        self_sizes = {
+                            int(q.shape[1])
+                            for lst in injected_qk.values()
+                            for (q, _k) in lst
+                        }
                         self_masks, mask_viz = _build_self_masks(
-                            injected, ed["attn_alpha"], attn_th, latent_hw
+                            injected, ed["attn_alpha"], attn_th, latent_hw,
+                            self_sizes=self_sizes,
                         )
                     ep = EditParams(
                         cross_edit_kind=controller.cross_edit_kind,
@@ -697,6 +715,7 @@ class FateZeroPipeline:
                         params=ep,
                         alpha_words=x["alpha_words"],
                         store_dtype=self.store_dtype,
+                        injected_qk=injected_qk,
                     )
                     lat_in = jnp.concatenate([latent, latent], axis=0)
                     eps = self.unet.apply(

@@ -71,12 +71,39 @@ class StoreContext(AttnContext):
     ``captured[key][pos]`` mirrors the reference's ``step_store`` layout
     (attention_store.py:81-93). Arrays are cast to ``store_dtype`` so the
     host offload stream stays small (reference stores fp16 on CPU).
+
+    ``self_qk=True`` switches SELF sites from probability capture to (q, k)
+    capture (``captured_qk``): the swap consumer can rematerialize
+    softmax(q k^T) through the flash kernel, and [*, s, d] q/k tensors are
+    ~kv/2d times smaller than [*, s, kv] probability maps — the capture
+    forward then materializes no self probabilities at all (its own output
+    runs through the flash kernel). Cross sites always store probabilities
+    (they feed blend masks and the cross-edit base, and are tiny: kv=77).
     """
 
-    def __init__(self, save_self_attention: bool = True, store_dtype=jnp.bfloat16):
-        self.save_self_attention = save_self_attention
+    def __init__(
+        self,
+        save_self_attention: bool = True,
+        store_dtype=jnp.bfloat16,
+        self_qk: bool = False,
+    ):
+        self.save_self_attention = save_self_attention and not self_qk
+        self.self_qk = self_qk
         self.store_dtype = store_dtype
         self.captured: Dict[str, List[jax.Array]] = {k: [] for k in STORE_KEYS}
+        self.captured_qk: Dict[str, List] = {
+            k: [] for k in STORE_KEYS if k.endswith("self")
+        }
+
+    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+        if is_cross or not self.self_qk:
+            return None
+        from fatezero_tpu.ops.flash_attention import fused_attention
+
+        self.captured_qk[store_key(place, False)].append(
+            (qh.astype(self.store_dtype), kh.astype(self.store_dtype))
+        )
+        return fused_attention(qh, kh, vh, scale)
 
     def _maybe_store(self, probs: jax.Array, place: str, is_cross: bool) -> None:
         if probs.shape[-2] <= MAX_CONTROLLED_TOKENS and (
@@ -341,14 +368,69 @@ class EditContext(StoreContext):
         params: EditParams,
         alpha_words: jax.Array,
         store_dtype=jnp.bfloat16,
+        injected_qk: Optional[Dict[str, List]] = None,
     ):
         super().__init__(
             save_self_attention=params.save_self_attention, store_dtype=store_dtype
         )
         self.injected = injected
+        self.injected_qk = injected_qk
         self.params = params
         self.alpha_words = alpha_words
         self._pos = {k: 0 for k in STORE_KEYS}
+        self._pos_qk = {k: 0 for k in STORE_KEYS}
+
+    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+        """Self-attention swap without materialized probabilities, from (q, k)
+        captured by a ``self_qk`` StoreContext. Both the swap and its spatial
+        mask are linear along rows/kv of the probabilities, so they commute
+        with @V:
+
+            cond = g*(m*P_cond + (1-m)*P_base) + (1-g)*P_cond   (probs)
+            out  = (g*m + 1-g) * (P_cond@V) + g*(1-m) * (P_base@V)
+
+        with the mask m a per-(frame, query-row) weight. P_base@V is one
+        flash attention over the injected q/k and the live cond values.
+        Cross sites return None (materialized path: their probs feed blend
+        masks and the cross-edit base, and are tiny).
+        """
+        if is_cross or self.injected_qk is None:
+            return None
+        if self.save_self_attention:
+            return None  # pre-edit live self capture needs materialized maps
+        from fatezero_tpu.ops.flash_attention import fused_attention
+
+        p = self.params
+        key = store_key(place, False)
+        pos = self._pos_qk[key]
+        self._pos_qk[key] = pos + 1
+
+        live = fused_attention(qh, kh, vh, scale)
+        if p.self_gate is None and not p.self_replace_active:
+            return live
+        b, f = video_shape
+        bh = qh.shape[0] // b  # rows per batch element; cond is the last
+        v_cond = vh[-bh:]
+        q_inj, k_inj = self.injected_qk[key][pos]
+        base_out = fused_attention(
+            q_inj.astype(vh.dtype), k_inj.astype(vh.dtype), v_cond, scale
+        )
+        g = p.self_gate if p.self_gate is not None else 1.0
+        g = jnp.asarray(g, jnp.float32).astype(live.dtype)
+        live_u, live_c = live[:-bh], live[-bh:]
+        mask = p.self_masks.get(qh.shape[1]) if p.self_masks is not None else None
+        if mask is None:
+            cond = g * base_out + (1.0 - g) * live_c
+        else:
+            m = mask.astype(live.dtype)  # [f, 1, s, 1] per-(frame, row)
+            d_out = live_c.shape[-1]
+            live4 = live_c.reshape(f, -1, qh.shape[1], d_out)
+            base4 = base_out.reshape(f, -1, qh.shape[1], d_out)
+            cond4 = (g * m + (1.0 - g)) * live4 + g * (1.0 - m) * base4
+            cond = cond4.reshape(live_c.shape)
+        if live_u.shape[0] == 0:
+            return cond
+        return jnp.concatenate([live_u, cond], axis=0)
 
     def process(self, probs, place, is_cross):
         # Pre-edit capture of the cond half, as the reference does
