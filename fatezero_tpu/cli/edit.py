@@ -46,6 +46,7 @@ def test(
     logdir: Optional[str] = None,
     disk_store: bool = False,
     profile: bool = False,
+    sharding: Optional[dict] = None,
     **kwargs,
 ):
     """Run one editing workload (reference test(), test_fatezero.py:46-251)."""
@@ -53,6 +54,19 @@ def test(
 
     dataset_config = dict(dataset_config or {})
     editing_config = dict(editing_config or {})
+    if not editing_config.get("use_invertion_latents", True) and editing_config.get(
+        "use_inversion_attention", True
+    ):
+        # generation mode has no inversion trajectory: replaying the
+        # fabricated clean-latent "trajectory" as inversion attention would
+        # silently produce garbage. The reference leaves this combination
+        # unguarded; here it is a config error.
+        raise ValueError(
+            "editing_config: use_invertion_latents: false (generation mode) "
+            "requires use_inversion_attention: false — there is no inversion "
+            "attention to fuse. Set use_inversion_attention: false for "
+            "save/swap-style generation editing."
+        )
     logdir = _logdir_for(config, logdir)
     os.makedirs(logdir, exist_ok=True)
     # every run logs to logdir/log.log like the reference
@@ -74,16 +88,34 @@ def test(
 
     with timer.phase("load_models", sync=False):
         bundle = load_models(pretrained_model_path, model_config, dtype=dtype, seed=seed)
-    pipe = FateZeroPipeline(
-        bundle.unet,
-        bundle.unet_params,
-        bundle.vae,
-        bundle.vae_params,
-        bundle.text_encoder,
-        bundle.text_params,
-        bundle.tokenizer,
+    # `test_pipeline_config.target` selects the pipeline class, as in the
+    # reference (test_fatezero.py:106-117 via instantiate_from_config);
+    # the model bundle is passed as the constructor kwargs.
+    pipeline_kwargs = dict(
+        unet=bundle.unet,
+        unet_params=bundle.unet_params,
+        vae=bundle.vae,
+        vae_params=bundle.vae_params,
+        text_encoder=bundle.text_encoder,
+        text_params=bundle.text_params,
+        tokenizer=bundle.tokenizer,
         schedule=bundle.schedule,
     )
+    if test_pipeline_config and test_pipeline_config.get("target"):
+        from fatezero_tpu.common.config import instantiate_from_config
+
+        pipe = instantiate_from_config(test_pipeline_config, **pipeline_kwargs)
+    else:
+        pipe = FateZeroPipeline(**pipeline_kwargs)
+    if sharding:
+        # sharding: {mesh: [data, seq, tensor] | auto, distributed: bool} —
+        # the user-reachable multi-chip path (frame-axis sequence parallelism
+        # + megatron TP; replaces the reference's `accelerate launch` DP)
+        from fatezero_tpu.parallel.sharding import mesh_from_config
+
+        mesh = mesh_from_config(sharding)
+        log.info("sharding over mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+        pipe.shard(mesh)
 
     dataset = ImageSequenceDataset(**dataset_config)
     video = dataset[0]["images"]  # [f, h, w, 3] in [-1, 1]
@@ -183,10 +215,13 @@ def test(
     return logdir, videos
 
 
-def run(config: str):
+def run(config: str, mesh: Optional[str] = None):
     cfg = load_config(config)
     d = cfg.to_dict()
     d.setdefault("config", config)
+    if mesh:
+        # --mesh 1,4,2 / --mesh auto overrides the YAML sharding block
+        d["sharding"] = {**(d.get("sharding") or {}), "mesh": mesh}
     # reference sweeps checkpoint_* subdirs of a tuned model
     # (test_fatezero.py:260-282)
     pmp = d.get("pretrained_model_path", "random:sd")
@@ -215,8 +250,14 @@ def main():
 
     @click.command()
     @click.option("--config", type=str, default="config/demo.yaml")
-    def _run(config):
-        run(config)
+    @click.option(
+        "--mesh",
+        type=str,
+        default=None,
+        help="device mesh shape data,seq,tensor (e.g. 1,4,2) or 'auto'",
+    )
+    def _run(config, mesh):
+        run(config, mesh=mesh)
 
     _run()
 

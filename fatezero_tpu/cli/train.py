@@ -50,6 +50,7 @@ def train(
     logdir: Optional[str] = None,
     validation_sample_logger_config: Optional[dict] = None,
     editing_config: Optional[dict] = None,
+    sharding: Optional[dict] = None,
     **kwargs,
 ):
     dataset_config = dict(dataset_config or {})
@@ -86,6 +87,16 @@ def train(
         bundle.tokenizer,
         schedule=bundle.schedule,
     )
+
+    if sharding:
+        # sharding: {mesh: [data, seq, tensor] | auto, distributed: bool}.
+        # UNet params get megatron TP specs; the trainer state inherits those
+        # shardings through init_state, and GSPMD partitions the train step.
+        from fatezero_tpu.parallel.sharding import mesh_from_config
+
+        mesh = mesh_from_config(sharding)
+        log.info("sharding over mesh %s", dict(zip(mesh.axis_names, mesh.devices.shape)))
+        pipe.shard(mesh)
 
     dataset_config.setdefault("crop", "random")
     dataset = ImageSequenceDataset(**dataset_config)
@@ -235,10 +246,12 @@ def _validate(pipe, dataset, prompt, logdir, step,
     return len(samples)
 
 
-def run(config: str):
+def run(config: str, mesh: Optional[str] = None):
     cfg = load_config(config)
     d = cfg.to_dict()
     d.setdefault("config", config)
+    if mesh:
+        d["sharding"] = {**(d.get("sharding") or {}), "mesh": mesh}
     return train(**d)
 
 
@@ -247,8 +260,14 @@ def main():
 
     @click.command()
     @click.option("--config", type=str, required=True)
-    def _run(config):
-        run(config)
+    @click.option(
+        "--mesh",
+        type=str,
+        default=None,
+        help="device mesh shape data,seq,tensor (e.g. 1,4,2) or 'auto'",
+    )
+    def _run(config, mesh):
+        run(config, mesh=mesh)
 
     _run()
 

@@ -43,6 +43,55 @@ def make_mesh(
     return Mesh(arr, AXES)
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_initialize_distributed(force: bool = False) -> bool:
+    """`jax.distributed.initialize()` when multi-process env vars are set.
+
+    The TPU-native replacement for the reference's `accelerate launch`
+    process bootstrap (reference test_fatezero.py:69-72): each host runs the
+    same entry point; JAX reads JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID (or the TPU-pod metadata) itself. No-op (returns False)
+    in a plain single-process run unless `force`.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    import os
+
+    want = force or any(
+        k in os.environ for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if not want:
+        return False
+    if not _DISTRIBUTED_INITIALIZED:
+        jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True
+    return True
+
+
+def mesh_from_config(cfg) -> Mesh:
+    """Build a mesh from a `sharding:` config block or a `--mesh` flag value.
+
+    Accepted forms:
+      * dict: `{mesh: [data, seq, tensor] | "auto", distributed: bool}`
+      * str:  `"1,4,2"` (shape) or `"auto"` (default split over all devices)
+    """
+    if isinstance(cfg, str):
+        cfg = {"mesh": cfg}
+    cfg = dict(cfg or {})
+    maybe_initialize_distributed(force=bool(cfg.get("distributed")))
+    shape = cfg.get("mesh", "auto")
+    if isinstance(shape, str):
+        if shape.strip().lower() == "auto":
+            shape = None
+        else:
+            shape = [int(x) for x in shape.replace("x", ",").split(",")]
+    if shape is not None:
+        shape = tuple(int(x) for x in shape)
+        assert len(shape) == 3, f"mesh shape must be (data, seq, tensor), got {shape}"
+    return make_mesh(shape=shape)
+
+
 def video_spec() -> P:
     """[B, F, H, W, C] video/latent tensors: batch over data, frames over seq."""
     return P("data", "seq")

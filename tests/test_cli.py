@@ -15,6 +15,74 @@ from fatezero_tpu.cli.edit import run
 CONFIG = os.path.join(os.path.dirname(__file__), os.pardir, "config", "demo_tiny.yaml")
 
 
+class MarkerPipeline:
+    """Target for the instantiate_from_config test: records construction."""
+
+    instantiated_with = None
+
+    def __init__(self, **kwargs):
+        type(self).instantiated_with = kwargs
+        raise _MarkerStop()
+
+
+class _MarkerStop(Exception):
+    pass
+
+
+def test_generation_mode_guard():
+    """use_invertion_latents: false + use_inversion_attention: true is a
+    config error, not a silent clean-latent replay (cli/edit.py guard)."""
+    from fatezero_tpu.cli.edit import test as edit_test
+
+    with pytest.raises(ValueError, match="use_inversion_attention"):
+        edit_test(
+            config="x.yaml",
+            editing_config={
+                "use_invertion_latents": False,
+                "use_inversion_attention": True,
+            },
+        )
+
+
+def test_pipeline_config_target_is_honored(tmp_path, monkeypatch):
+    """`test_pipeline_config.target` selects the pipeline class via
+    instantiate_from_config (reference test_fatezero.py:106-117)."""
+    monkeypatch.chdir(tmp_path)
+    from fatezero_tpu.cli.edit import test as edit_test
+
+    with pytest.raises(_MarkerStop):
+        edit_test(
+            config="x.yaml",
+            pretrained_model_path="random:tiny",
+            dataset_config={
+                "path": "/root/reference/data/teaser_car-turn",
+                "prompt": "a jeep",
+                "n_sample_frame": 2,
+                "sampling_rate": 2,
+                "image_size": 64,
+            },
+            editing_config={"num_inference_steps": 2},
+            test_pipeline_config={"target": "test_cli.MarkerPipeline"},
+        )
+    kw = MarkerPipeline.instantiated_with
+    assert kw is not None and "unet" in kw and "unet_params" in kw
+
+
+@pytest.mark.slow
+def test_cli_sharded_matches_single_device(tmp_path, monkeypatch):
+    """The user-reachable sharding path: the same config run through the real
+    CLI over the 8-device virtual mesh (--mesh 1,4,2: frame-axis sequence
+    parallelism + tensor parallelism) must produce the single-device
+    artifacts. Replaces the reference's `accelerate launch` scaffolding
+    (test_fatezero.py:69-72)."""
+    monkeypatch.chdir(tmp_path)
+    _, videos_ref = run(CONFIG)
+    _, videos_sh = run(CONFIG, mesh="1,4,2")
+    assert len(videos_sh) == len(videos_ref)
+    for a, b in zip(videos_ref, videos_sh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 @pytest.mark.slow
 def test_cli_end_to_end(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)

@@ -36,6 +36,53 @@ def test_metrics_mechanics(tmp_path):
     assert 0.0 <= acc <= 1.0 and -1.0 <= con <= 1.0
 
 
+def test_evaluate_cli_reference_schema(tmp_path, capsys):
+    """cli/evaluate.run must consume the shipped bench_clean_prompt.yaml
+    (the reference's {name: {path, source, target}} schema,
+    CLIP/frame_acc_tem_con.py:63-76) against a results tree keyed by name."""
+    import os
+
+    from PIL import Image
+
+    from fatezero_tpu.cli import evaluate
+
+    rng = np.random.RandomState(0)
+    for name in ("swan_cartoon", "car_watercolor"):
+        d = tmp_path / name
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+                d / f"{i:05d}.png"
+            )
+    bench = os.path.join(
+        os.path.dirname(__file__), os.pardir, "config", "bench_clean_prompt.yaml"
+    )
+    out = evaluate.run(bench, results_root=str(tmp_path))
+    assert out["n"] == 2
+    assert set(out["per_item"]) == {"swan_cartoon", "car_watercolor"}
+    assert np.isfinite(out["frame_acc"]) and np.isfinite(out["tem_con"])
+
+
+def test_normalize_bench_both_schemas():
+    from fatezero_tpu.cli.evaluate import normalize_bench
+
+    items = normalize_bench(
+        {"items": [{"folder": "a", "source_prompt": "s", "target_prompt": "t"}]}
+    )
+    assert items[0]["folder"] == "a"
+    items = normalize_bench(
+        {
+            "results_root": "r",
+            "vid": {"path": "x", "source": "s", "target": "t,"},
+        }
+    )
+    assert items == [
+        {"folder": "vid", "source_prompt": "s", "target_prompt": "t,"}
+    ]
+    with pytest.raises(ValueError):
+        normalize_bench({"results_root": "r"})
+
+
 @pytest.fixture(scope="module")
 def hf_clip():
     torch = pytest.importorskip("torch")
