@@ -130,11 +130,16 @@ def test(
         latents = pipe.encode_video(video)
 
     use_fused = not disk_store and not editing_config.get("save_attention_maps", False)
-    traj = inv_store = traj_host = None
+    traj = inv_store = traj_host = stored = None
     if editing_config.get("use_invertion_latents", True):
         if use_fused:
+            # capture the controlled sites' payloads during inversion itself
+            # (cross probs + self (q,k), HBM-resident): the edit scans then
+            # run the bare 2-row CFG forward with no replay row
             with timer.phase("inversion"):
-                traj = pipe.invert_fast(latents, emb_src, num_steps)
+                traj, stored = pipe.invert_fast(
+                    latents, emb_src, num_steps, capture=True
+                )
                 traj.block_until_ready()
         else:
             inv_store = AttentionStore(disk_store=disk_store, store_dir=logdir)
@@ -196,6 +201,7 @@ def test(
                 inv_store=inv_store,
                 inverted_latents=traj_host,
                 emb_source=emb_src,
+                stored=stored,
             )
     timer.save(os.path.join(logdir, "phase_timings.json"))
     log.info("%s", timer)

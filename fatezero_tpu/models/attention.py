@@ -78,11 +78,24 @@ class Attention(nn.Module):
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(kv_src)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(kv_src)
 
+        k_store = sparse_meta = None
         if sparse_indices is not None and not is_cross and video_shape is not None:
             b, f = video_shape
             if len(sparse_indices) > 0 and f > 1:
                 s = k.shape[1]
-                k = gather_sparse_kv(k.reshape(b, f, s, inner), sparse_indices, f)
+                k_pre = k.reshape(b, f, s, inner)
+                if attn_ctx is not None:
+                    # sparse-causal K dedup for the attention store: only the
+                    # statically-referenced source frames need storing
+                    # (['mid'] -> 1 frame, 8x smaller than the gathered K);
+                    # consumers re-gather via regather_headsplit_kv
+                    from fatezero_tpu.ops.video_ops import referenced_frames
+
+                    refs = referenced_frames(f, sparse_indices)
+                    k_sel = k_pre[:, refs].reshape(b * len(refs), s, inner)
+                    k_store = _split_heads(k_sel, self.heads)
+                    sparse_meta = (tuple(sparse_indices), f, self.heads)
+                k = gather_sparse_kv(k_pre, sparse_indices, f)
                 v = gather_sparse_kv(v.reshape(b, f, s, inner), sparse_indices, f)
                 k = k.reshape(b * f, -1, inner)
                 v = v.reshape(b * f, -1, inner)
@@ -104,7 +117,8 @@ class Attention(nn.Module):
             # linear edit ops are pushed into the values so the whole site runs
             # through the flash kernel — None falls back to materialization
             fast = attn_ctx.value_space_attention(
-                qh, kh, vh, scale, place, is_cross, (b, f)
+                qh, kh, vh, scale, place, is_cross, (b, f),
+                k_store=k_store, sparse_meta=sparse_meta,
             )
         if controlled and fast is not None:
             out = fast.astype(self.dtype)

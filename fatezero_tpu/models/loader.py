@@ -158,9 +158,14 @@ def _fast_init(model, *args, seed: int = 0):
             # temporal attention out-proj and LoRA up-projection
             # ('lora_temporal_up') are zero => inflated model == 2-D model
             return np.zeros(s.shape, s.dtype)
-        if name.endswith("bias") or "norm" in name.lower() and name.endswith("scale"):
-            val = np.ones(s.shape) if name.endswith("scale") else np.zeros(s.shape)
-            return val.astype(s.dtype)
+        parts = name.split("/")
+        if name.endswith("bias"):
+            return np.zeros(s.shape, s.dtype)
+        # norm gains start at one; match the norm MODULE (immediate parent
+        # segment) + exact 'scale' leaf, not substrings of the leaf name —
+        # a future param like 'renorm_scale' must not silently become ones
+        if parts[-1] == "scale" and len(parts) >= 2 and "norm" in parts[-2].lower():
+            return np.ones(s.shape, s.dtype)
         return (rng.standard_normal(s.shape) * 0.02).astype(s.dtype)
 
     leaves = [fill(p, s) for p, s in flat]

@@ -110,3 +110,36 @@ def gather_sparse_kv(kv: jax.Array, index_spec, num_frames: int) -> jax.Array:
     """
     idx_list = sparse_frame_indices(num_frames, index_spec)
     return jnp.concatenate([kv[:, idx] for idx in idx_list], axis=2)
+
+
+def referenced_frames(num_frames: int, index_spec) -> List[int]:
+    """Sorted unique source frames any query frame gathers from (static).
+
+    The storage key of the sparse-causal K dedup: with ['mid'] every frame
+    reads ONE source frame; with (-1, 'first') all frames are referenced but
+    each exactly once — so storing the referenced per-frame K (pre-gather)
+    is 8x / 2x smaller than the post-gather [F, k*S] tensor.
+    """
+    idx_list = sparse_frame_indices(num_frames, index_spec)
+    return sorted({int(i) for arr in idx_list for i in arr})
+
+
+def regather_headsplit_kv(
+    kv_sel: jax.Array, index_spec, num_frames: int, heads: int
+) -> jax.Array:
+    """Rebuild the post-gather head-split KV from its referenced-frame subset.
+
+    kv_sel: [n_ref*heads, S, d] — the head-split per-frame KV of the frames
+    `referenced_frames` returns, in that order. Returns [F*heads, k*S, d],
+    identical to head-splitting gather_sparse_kv's output.
+    """
+    refs = referenced_frames(num_frames, index_spec)
+    pos = {fi: p for p, fi in enumerate(refs)}
+    idx_list = sparse_frame_indices(num_frames, index_spec)
+    s, d = kv_sel.shape[-2:]
+    k4 = kv_sel.reshape(len(refs), heads, s, d)
+    per_frame = []
+    for fi in range(num_frames):
+        parts = [k4[pos[int(arr[fi])]] for arr in idx_list]  # each [h, s, d]
+        per_frame.append(jnp.concatenate(parts, axis=1))  # [h, k*s, d]
+    return jnp.stack(per_frame, 0).reshape(num_frames * heads, -1, d)

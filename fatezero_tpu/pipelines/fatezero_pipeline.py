@@ -444,7 +444,8 @@ class FateZeroPipeline:
         latents: jax.Array,
         cond_embeddings: jax.Array,
         num_inference_steps: int = 50,
-    ) -> jax.Array:
+        capture: bool = False,
+    ):
         """Clean -> noisy DDIM inversion as one fused `lax.scan`, returning the
         device-resident latent trajectory [steps+1, 1, f, h, w, 4].
 
@@ -454,8 +455,21 @@ class FateZeroPipeline:
         100 GB RAM), only the ~0.5 MB/step latent trajectory is kept;
         `edit_fast` recomputes each step's maps on the fly (FLOPs are cheap on
         the MXU, HBM<->host bandwidth is not).
+
+        capture=True additionally returns (traj, stored): the controlled
+        sites' payloads as HBM-resident scan-stacked arrays — cross
+        probabilities per step (`stored['probs']`, store layout
+        [steps, 1, f, h, s, 77]) and self-site (q, k) pairs
+        (`stored['qk']`, [steps, f*h, s, d]). The inversion forward IS the
+        edit pass's replay forward (same latent, timestep, params — for both
+        use_inversion_attention settings the index algebra lines up), so
+        `edit_fast(stored=...)` can skip its replay row entirely: the edit
+        step becomes the bare 2-row CFG forward. Cost: ~130 MB/step of HBM
+        writes (bf16, SD-1.4 8f 64^2 grid), ~6.5 GB total at 50 steps —
+        device-resident, never touching the host (the reference's 100 GB host
+        store, shrunk (q,k)-wise by kv/2d and kept on-chip).
         """
-        key = ("invert_scan", num_inference_steps)
+        key = ("invert_scan", num_inference_steps, bool(capture))
         if key not in self._jit_cache:
             ts_up = jnp.asarray(
                 S.ddim_timesteps(self.schedule, num_inference_steps)[::-1], jnp.int32
@@ -464,14 +478,25 @@ class FateZeroPipeline:
             @jax.jit
             def run(latent, cond, params):
                 def body(lat, t):
-                    eps = self.unet.apply(params, lat, t, cond)
+                    if capture:
+                        sctx = StoreContext(
+                            save_self_attention=False,
+                            store_dtype=self.store_dtype,
+                            self_qk=True,
+                        )
+                        eps = self.unet.apply(params, lat, t, cond, attn_ctx=sctx)
+                        extra = {"probs": sctx.captured, "qk": sctx.captured_qk}
+                    else:
+                        eps = self.unet.apply(params, lat, t, cond)
+                        extra = {}
                     new = S.ddim_invert_step(
                         self.schedule, eps, t, lat, num_inference_steps
                     )
-                    return new, new
+                    return new, (new, extra)
 
-                _, stacked = jax.lax.scan(body, latent, ts_up)
-                return jnp.concatenate([latent[None], stacked], axis=0)
+                _, (stacked, stored) = jax.lax.scan(body, latent, ts_up)
+                traj = jnp.concatenate([latent[None], stacked], axis=0)
+                return (traj, stored) if capture else traj
 
             self._jit_cache[key] = run
         latents = self._shard_video(latents.astype(jnp.float32), frame_axis=1)
@@ -486,6 +511,8 @@ class FateZeroPipeline:
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         strength: float = 1.0,
+        viz: bool = False,
+        stored=None,
     ) -> jax.Array:
         """Prompt-to-prompt edit as ONE fused `lax.scan` over all steps.
 
@@ -499,9 +526,15 @@ class FateZeroPipeline:
 
         traj: output of `invert_fast`. cond_embeddings: source-prompt pair
         (cond half used for replay). text_embeddings: target pair [2, 77, C].
-        Returns (edited_latent, aux) with stacked per-step blend masks.
+        Returns (edited_latent, aux) with stacked per-step blend masks; with
+        `viz` the aux also carries `cross_avg` [1, f, (hw/4)^2, 77] — the
+        live cond-row cross maps at the 16x16 resolution, averaged over
+        layers/heads/steps, for the reference's per-edit heatmap artifact
+        (p2p_ddim_spatial_temporal.py:211-215). Cost: the 5 mid-res cross
+        sites run materialized instead of value-space (they are tiny).
         """
         steps = num_inference_steps
+        use_stored = stored is not None
         use_attn_blend = controller.attention_blend is not None
         use_latent_blend = controller.latent_blend is not None
         attn_th = controller.attention_blend.th[0] if use_attn_blend else 0.3
@@ -513,7 +546,10 @@ class FateZeroPipeline:
         # application per step instead of two. Requires the replay timestep to
         # equal the edit timestep (use_inversion_attention) and no
         # blend_self_attention (its masks need maps of later layers).
-        inline = controller.use_inversion_attention and not use_attn_blend
+        # stored mode (invert_fast(capture=True)): the replay/capture forward
+        # disappears entirely — each step consumes its inversion payload from
+        # the scan inputs and runs only the 2-row CFG forward.
+        inline = controller.use_inversion_attention and not use_attn_blend and not use_stored
 
         # strength < 1 runs only the last n_used (least-noisy) grid positions;
         # the start latent and all replay/blend trajectory indices shift by
@@ -580,16 +616,20 @@ class FateZeroPipeline:
             any_self,
             controller.use_inversion_attention,
             inline,
+            use_stored,
             float(attn_th),
             float(latent_th),
+            bool(viz),
             traj.shape,
         )
         if key not in self._jit_cache:
             latent_hw = int(traj.shape[-3])
 
             @jax.jit
-            def run(traj, cond_src, text_emb, guidance, ed, params):
-                replay_lats = traj[jnp.asarray(replay_idx)]
+            def run(traj, cond_src, text_emb, guidance, ed, stored_x, params):
+                replay_lats = (
+                    jnp.zeros((n_used,)) if use_stored else traj[jnp.asarray(replay_idx)]
+                )
                 blend_lats = traj[jnp.asarray(blend_idx)] if use_latent_blend else None
 
                 def capture(lat, t):
@@ -612,15 +652,33 @@ class FateZeroPipeline:
                     return sctx.captured, sctx.captured_qk
 
                 if use_latent_blend:
-                    inj_shapes, _ = jax.eval_shape(
-                        capture, traj[0], jnp.int32(timesteps[0])
-                    )
+                    if use_stored:
+                        inj_shapes = jax.tree.map(lambda a: a[0], stored_x["probs"])
+                    else:
+                        inj_shapes, _ = jax.eval_shape(
+                            capture, traj[0], jnp.int32(timesteps[0])
+                        )
                     sums0 = [
                         jnp.zeros(m.shape, jnp.float32)
                         for m in _blend_maps_16(inj_shapes, latent_hw)
                     ]
                 else:
                     sums0 = []
+
+                s16 = (latent_hw // 4) ** 2
+                vsum0 = (
+                    jnp.zeros((1, traj.shape[2], s16, 77), jnp.float32)
+                    if viz
+                    else jnp.zeros((1,), jnp.float32)
+                )
+
+                def _viz16(ctx_maps):
+                    """Mean over the 5 mid-res cross sites' layers+heads of the
+                    live cond-row maps: [1, f, s16, 77]."""
+                    maps16 = _blend_maps_16(ctx_maps, latent_hw)
+                    tot = sum(m.astype(jnp.float32).sum(axis=2) for m in maps16)
+                    n = sum(int(m.shape[2]) for m in maps16)
+                    return tot / n
 
                 def _latent_blend_step(new_latent, sums, live_ctx_maps, inv_maps, blend_lat, bg):
                     live16 = [
@@ -641,8 +699,8 @@ class FateZeroPipeline:
                 text3 = jnp.concatenate([cond_src, text_emb], axis=0)  # [3,77,C]
 
                 def body_inline(carry, x):
-                    latent, sums = carry
-                    rep_lat, blend_lat, x = x
+                    latent, sums, vsum = carry
+                    rep_lat, blend_lat, x, _st = x
                     ep = EditParams(
                         cross_edit_kind=controller.cross_edit_kind,
                         mapper=ed["mapper"],
@@ -661,6 +719,7 @@ class FateZeroPipeline:
                         x["alpha_words"],
                         store_dtype=self.store_dtype,
                         capture_for_blend=use_latent_blend,
+                        viz_size=s16 if viz else None,
                     )
                     lat_in = jnp.concatenate([rep_lat, latent, latent], axis=0)
                     # replay row 0 is dropped from the batch once no stored/
@@ -682,12 +741,17 @@ class FateZeroPipeline:
                             blend_lat, x["blend_gate"],
                         )
                         outs["latent_mask"] = lmask
-                    return (new_latent, sums), outs
+                    if viz:
+                        vsum = vsum + _viz16(ictx.captured)
+                    return (new_latent, sums, vsum), outs
 
                 def body(carry, x):
-                    latent, sums = carry
-                    rep_lat, blend_lat, x = x
-                    injected, injected_qk = capture(rep_lat, x["replay_t"])
+                    latent, sums, vsum = carry
+                    rep_lat, blend_lat, x, st = x
+                    if use_stored:
+                        injected, injected_qk = st["probs"], st["qk"]
+                    else:
+                        injected, injected_qk = capture(rep_lat, x["replay_t"])
                     self_masks = mask_viz = None
                     if use_attn_blend:
                         self_sizes = {
@@ -735,25 +799,38 @@ class FateZeroPipeline:
                             blend_lat, x["blend_gate"],
                         )
                         outs["latent_mask"] = lmask
-                    return (new_latent, sums), outs
+                    if viz:
+                        vsum = vsum + _viz16(ectx.captured)
+                    return (new_latent, sums, vsum), outs
 
+                st_xs = stored_x if use_stored else jnp.zeros((n_used,))
                 if use_latent_blend:
-                    scan_xs = (replay_lats, blend_lats, xs)
+                    scan_xs = (replay_lats, blend_lats, xs, st_xs)
                 else:
-                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs)
+                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs, st_xs)
                 scan_body = body_inline if inline else body
                 start = traj[steps - t_start]  # noise level of the first used timestep
-                (final, _), outs = jax.lax.scan(scan_body, (start, sums0), scan_xs)
+                (final, _, vfinal), outs = jax.lax.scan(
+                    scan_body, (start, sums0, vsum0), scan_xs
+                )
+                if viz:
+                    outs["cross_avg"] = vfinal / n_used
                 return final, outs
 
             self._jit_cache[key] = run
         traj = self._shard_video(traj, frame_axis=2)
+        stored_x = None
+        if use_stored:
+            # per-edit-step payload = inversion step replay_idx[j]'s capture
+            idx_arr = jnp.asarray(replay_idx)
+            stored_x = jax.tree.map(lambda a: a[idx_arr], stored)
         final, outs = self._jit_cache[key](
             traj,
             cond_embeddings[-1:],
             text_embeddings,
             jnp.float32(guidance_scale),
             ed,
+            stored_x,
             self.unet_params,
         )
         return final, outs

@@ -42,6 +42,7 @@ class P2pSampleLogger:
         annotate_size: int = 15,
         use_fused_path: bool = True,
         save_attention_maps: bool = False,
+        save_cross_attention: bool = True,
         **kwargs,
     ):
         self.editing_prompts = list(editing_prompts)
@@ -60,6 +61,9 @@ class P2pSampleLogger:
         self.annotate = annotate
         self.use_fused_path = use_fused_path
         self.save_attention_maps = save_attention_maps
+        # per-edit cross-attention heatmap artifact, as the reference saves
+        # after every edit (p2p_ddim_spatial_temporal.py:211-215)
+        self.save_cross_attention = save_cross_attention
         os.makedirs(logdir, exist_ok=True)
 
     def _controller_for(self, pipeline, idx: int, target_prompt: str):
@@ -94,10 +98,13 @@ class P2pSampleLogger:
         inv_store: Optional[AttentionStore] = None,
         inverted_latents: Optional[List[np.ndarray]] = None,
         emb_source=None,
+        stored=None,
     ) -> List[np.ndarray]:
         """Run every editing prompt; returns the list of decoded videos.
 
-        Fused mode consumes `traj` (device trajectory from invert_fast);
+        Fused mode consumes `traj` (device trajectory from invert_fast) and
+        optionally `stored` (inversion-time attention payloads from
+        invert_fast(capture=True) — edits then skip the replay forward);
         streaming mode consumes `inv_store` + `inverted_latents`.
         """
         # when annotating, the source row needs the same text band or the
@@ -120,6 +127,7 @@ class P2pSampleLogger:
         )
         save_store = None  # no-inversion mode: prompt 0's own maps (edit_type 'save')
         for idx, prompt in enumerate(self.editing_prompts):
+            edit_aux = None
             is_reconstruction = prompt == self.source_prompt
             controller = None
             if not is_reconstruction or self.use_inversion_attention:
@@ -153,7 +161,7 @@ class P2pSampleLogger:
             elif self.use_fused_path:
                 assert traj is not None, "fused path needs the latent trajectory"
                 if controller is not None:
-                    latent, _ = pipeline.edit_fast(
+                    latent, edit_aux = pipeline.edit_fast(
                         traj,
                         emb_source,
                         emb_tgt,
@@ -161,6 +169,8 @@ class P2pSampleLogger:
                         num_inference_steps=self.num_inference_steps,
                         guidance_scale=self.guidance_scale,
                         strength=self.strength,
+                        viz=self.save_cross_attention,
+                        stored=stored,
                     )
                 else:
                     latent = pipeline.sample(
@@ -184,6 +194,23 @@ class P2pSampleLogger:
             video = pipeline.decode_latents(latent)
             tag = f"{idx}_{prompt[:80].replace(' ', '_')}"
             save_gif_mp4_folder_type(video, os.path.join(self.logdir, f"{tag}.gif"))
+            if edit_aux is not None and "cross_avg" in edit_aux:
+                # per-edit cross-attention heatmap gif, aggregated over
+                # layers/heads/steps like the reference's
+                # show_cross_attention(edit_controller, 16, ["up","down"])
+                from fatezero_tpu.ptp.visualization import show_cross_attention
+
+                avg = np.asarray(edit_aux["cross_avg"], np.float32)  # [1,f,s,77]
+                res = int(np.sqrt(avg.shape[2]))
+                show_cross_attention(
+                    pipeline.tokenizer,
+                    prompt,
+                    {"up_cross": [avg[:, :, None]]},  # [1, f, 1, s, 77]
+                    res=res,
+                    save_path=os.path.join(
+                        self.logdir, "cross_attention", f"{tag}.gif"
+                    ),
+                )
             if self.annotate:
                 video = annotate_video(video, prompt)
             videos.append(video)

@@ -54,11 +54,16 @@ class AttnContext:
         return probs
 
     def value_space_attention(
-        self, qh, kh, vh, scale, place, is_cross, video_shape
+        self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
     ) -> Optional[jax.Array]:
         """Optional fast path: compute the site's (edited) attention output
         directly from q/k/v without materializing probabilities. Returns the
-        output [(b f h), s, d] or None to request the materialized path."""
+        output [(b f h), s, d] or None to request the materialized path.
+
+        site_info: static per-site extras from the attention layer —
+        `k_store` (referenced-frame deduped K for stores, see
+        ops/video_ops.referenced_frames) and `sparse_meta`
+        ((index_spec, f, heads) to re-gather a deduped K at consumption)."""
         return None
 
 
@@ -95,13 +100,20 @@ class StoreContext(AttnContext):
             k: [] for k in STORE_KEYS if k.endswith("self")
         }
 
-    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+    def value_space_attention(
+        self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
+    ):
         if is_cross or not self.self_qk:
             return None
         from fatezero_tpu.ops.flash_attention import fused_attention
 
+        # store the referenced-frame deduped K when the site provides one
+        # (sparse-causal sites: ['mid'] -> 8x smaller than the gathered K)
+        k_keep = site_info.get("k_store")
+        if k_keep is None:
+            k_keep = kh
         self.captured_qk[store_key(place, False)].append(
-            (qh.astype(self.store_dtype), kh.astype(self.store_dtype))
+            (qh.astype(self.store_dtype), k_keep.astype(self.store_dtype))
         )
         return fused_attention(qh, kh, vh, scale)
 
@@ -216,14 +228,25 @@ class InlineEditContext(StoreContext):
         alpha_words: jax.Array,
         store_dtype=jnp.bfloat16,
         capture_for_blend: bool = False,
+        viz_size: Optional[int] = None,
     ):
         super().__init__(save_self_attention=False, store_dtype=store_dtype)
         self.params = params
         self.alpha_words = alpha_words
         self.capture_for_blend = capture_for_blend
+        # query-token count whose cross maps are materialized+captured for the
+        # edit-pass attention visualization (the reference saves per-edit
+        # heatmaps, p2p_ddim_spatial_temporal.py:211-215); only those sites
+        # leave the value-space fast path
+        self.viz_size = viz_size
         self.captured_inv: Dict[str, List[jax.Array]] = {k: [] for k in STORE_KEYS}
 
-    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+    def _capture_cross(self, s: int) -> bool:
+        return self.capture_for_blend or (self.viz_size is not None and s == self.viz_size)
+
+    def value_space_attention(
+        self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
+    ):
         """Probability-free edit: every inline edit op (cross replace/refine,
         reweight equalizer, alpha-time-word mix, maskless self swap) acts
         LINEARLY on the probabilities along the kv axis, so it commutes with
@@ -253,8 +276,8 @@ class InlineEditContext(StoreContext):
         if b != 3:
             return None
         p = self.params
-        if is_cross and self.capture_for_blend:
-            return None  # blend masks need the materialized cross maps
+        if is_cross and self._capture_cross(qh.shape[1]):
+            return None  # blend masks / viz need the materialized cross maps
         if not is_cross and p.self_masks is not None:
             return None
         bh = qh.shape[0] // 3
@@ -329,7 +352,7 @@ class InlineEditContext(StoreContext):
         if probs.shape[-2] > MAX_CONTROLLED_TOKENS or probs.shape[0] < 3:
             return probs
         base = probs[0]  # [f, h, s, kv] — the replay row's probs
-        if self.capture_for_blend and is_cross:
+        if is_cross and self._capture_cross(probs.shape[-2]):
             key = store_key(place, True)
             self.captured_inv[key].append(probs[:1].astype(self.store_dtype))
             self.captured[key].append(probs[-1:].astype(self.store_dtype))
@@ -380,7 +403,9 @@ class EditContext(StoreContext):
         self._pos = {k: 0 for k in STORE_KEYS}
         self._pos_qk = {k: 0 for k in STORE_KEYS}
 
-    def value_space_attention(self, qh, kh, vh, scale, place, is_cross, video_shape):
+    def value_space_attention(
+        self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
+    ):
         """Self-attention swap without materialized probabilities, from (q, k)
         captured by a ``self_qk`` StoreContext. Both the swap and its spatial
         mask are linear along rows/kv of the probabilities, so they commute
@@ -412,6 +437,14 @@ class EditContext(StoreContext):
         bh = qh.shape[0] // b  # rows per batch element; cond is the last
         v_cond = vh[-bh:]
         q_inj, k_inj = self.injected_qk[key][pos]
+        if k_inj.shape[0] != q_inj.shape[0]:
+            # referenced-frame deduped K (StoreContext + Attention k_store):
+            # re-gather to the full sparse-causal layout using this site's
+            # own static index spec
+            from fatezero_tpu.ops.video_ops import regather_headsplit_kv
+
+            index_spec, f_meta, heads = site_info["sparse_meta"]
+            k_inj = regather_headsplit_kv(k_inj, index_spec, f_meta, heads)
         base_out = fused_attention(
             q_inj.astype(vh.dtype), k_inj.astype(vh.dtype), v_cond, scale
         )

@@ -114,12 +114,16 @@ def get_replacement_mapper_(x: str, y: str, tokenizer, max_len: int = 77) -> np.
     Requires equal word counts; differing token spans are spread with 1/n
     weights.
     """
+    # Algorithm semantics (word-span mapping with 1/n weight spreading) are
+    # pinned value-for-value to Google's Apache-2.0 prompt-to-prompt
+    # seq_aligner (vendored by the reference) via tests/test_reference_golden.py.
     words_x = x.split(" ")
     words_y = y.split(" ")
     if len(words_x) != len(words_y):
         raise ValueError(
-            "attention replacement edit can only be applied on prompts with the same length "
-            f"but prompt A has {len(words_x)} words and prompt B has {len(words_y)} words."
+            f"replacement mapping needs equal word counts, got {len(words_x)} "
+            f"vs {len(words_y)}; use the refine controller "
+            "(is_replace_controller: false) for prompts of different lengths."
         )
     inds_replace = [i for i in range(len(words_y)) if words_y[i] != words_x[i]]
     inds_source = [get_word_inds(x, i, tokenizer) for i in inds_replace]

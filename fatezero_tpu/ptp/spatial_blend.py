@@ -104,6 +104,9 @@ class SpatialBlender:
     th: Tuple[float, float] = (0.3, 0.3)
     prompt_choose: str = "source"
     save_path: Optional[str] = None
+    # indicator of words whose (un-pooled, th[1]-thresholded) mask is
+    # subtracted from the main mask (spatial_blend.py:108-113,152-163)
+    substruct_layers: Optional[np.ndarray] = None
 
     counter: int = 0
     mask_list: List[np.ndarray] = dataclasses.field(default_factory=list)
@@ -120,6 +123,7 @@ class SpatialBlender:
         th=(0.3, 0.3),
         prompt_choose: str = "source",
         save_path: Optional[str] = None,
+        substruct_words=None,
     ) -> "SpatialBlender":
         assert prompt_choose in ("source", "both")
         return cls(
@@ -129,6 +133,9 @@ class SpatialBlender:
             th=tuple(th) if not isinstance(th, (int, float)) else (th, th),
             prompt_choose=prompt_choose,
             save_path=save_path,
+            substruct_layers=None
+            if substruct_words is None
+            else word_alpha_layers(prompts, substruct_words, tokenizer),
         )
 
     def mask_for(self, maps: Sequence[jax.Array], target_hw) -> jax.Array:
@@ -139,6 +146,19 @@ class SpatialBlender:
         mask = blend_mask(maps, alpha, target_hw, self.th[0], use_pool=True)
         if self.prompt_choose == "both":
             mask = jnp.maximum(mask[:1], mask)  # source-union (spatial_blend.py:40-42)
+        if self.substruct_layers is not None:
+            # carve the substruct words' own region out of the mask:
+            # mask *= ~get_mask(maps, substruct_layers, use_pool=False)
+            # at th[1] (spatial_blend.py:108-113)
+            sub_alpha = jnp.asarray(
+                self.substruct_layers[:1]
+                if self.prompt_choose == "source"
+                else self.substruct_layers
+            )
+            sub = blend_mask(maps, sub_alpha, target_hw, self.th[1], use_pool=False)
+            if self.prompt_choose == "both":
+                sub = jnp.maximum(sub[:1], sub)
+            mask = mask * (1.0 - sub)
         return mask
 
     def record(self, mask: np.ndarray, save_tag: str = "") -> None:

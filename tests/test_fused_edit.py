@@ -106,6 +106,97 @@ def test_edit_fast_matches_streaming(pipe, latents, embs, with_blends):
         assert aux["attn_mask"].shape[0] == STEPS
 
 
+@pytest.mark.parametrize("with_blends", [False, True, "latent_only"])
+def test_edit_fast_stored_matches_replay(pipe, latents, embs, with_blends):
+    """invert_fast(capture=True) payloads consumed by edit_fast(stored=...)
+    must reproduce the replay-based edit exactly: the inversion forward IS
+    the replay forward (same latent, timestep, params)."""
+    emb_src, emb_tgt = embs
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.8,
+        self_replace_steps=0.5,
+        eq_params={"words": ["posche"], "values": [2.0]},
+        blend_words=[["jeep"], ["posche"]] if with_blends else None,
+        blend_latents=bool(with_blends),
+        blend_self_attention=with_blends is True,
+    )
+    traj = pipe.invert_fast(latents, emb_src, STEPS)
+    out_replay, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    traj_c, stored = pipe.invert_fast(latents, emb_src, STEPS, capture=True)
+    np.testing.assert_allclose(
+        np.asarray(traj), np.asarray(traj_c), atol=2e-5, rtol=2e-5
+    )
+    out_stored, _ = pipe.edit_fast(
+        traj_c, emb_src, emb_tgt, controller(), num_inference_steps=STEPS,
+        stored=stored,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_replay), np.asarray(out_stored), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_edit_fast_stored_with_strength(pipe, latents, embs):
+    """stored mode + strength<1: payload indices follow the shifted grid."""
+    emb_src, emb_tgt = embs
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        self_replace_steps=0.5,
+    )
+    traj, stored = pipe.invert_fast(latents, emb_src, STEPS, capture=True)
+    out_replay, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS,
+        strength=0.75,
+    )
+    out_stored, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS,
+        strength=0.75, stored=stored,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_replay), np.asarray(out_stored), atol=5e-4, rtol=5e-4
+    )
+
+
+@pytest.mark.parametrize("with_blends", [False, True])
+def test_edit_fast_viz_cross_attention(pipe, latents, embs, with_blends):
+    """viz=True must not perturb the edit output, and the returned cross_avg
+    is a probability average: mid-res live cond cross maps averaged over
+    layers/heads/steps (each query row sums to 1)."""
+    emb_src, emb_tgt = embs
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.8,
+        self_replace_steps=0.5,
+        blend_words=[["jeep"], ["posche"]] if with_blends else None,
+        blend_latents=with_blends,
+        blend_self_attention=with_blends,
+    )
+    traj = pipe.invert_fast(latents, emb_src, STEPS)
+    out_plain, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    out_viz, aux = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS, viz=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_viz), atol=1e-5, rtol=1e-5
+    )
+    avg = np.asarray(aux["cross_avg"], np.float32)
+    assert avg.shape == (1, F, (HW // 4) ** 2, 77)
+    np.testing.assert_allclose(avg.sum(-1), 1.0, atol=1e-3)
+
+
 def test_edit_strength_fast_matches_streaming(pipe, latents, embs):
     """strength < 1 (img2img slicing): both paths run only the last
     int(steps*strength) timesteps starting from the matching trajectory

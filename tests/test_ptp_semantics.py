@@ -109,3 +109,36 @@ def test_blend_mask_threshold_semantics():
     # th > 1 disables the mask entirely (blend_th: [2, 2] -> full swap)
     mask2 = blend_mask(maps, alpha, (2, 2), th=2.0, use_pool=False)
     assert np.asarray(mask2).sum() == 0.0
+
+
+def test_substruct_words_carve_out():
+    """SpatialBlender(substruct_words=...): the substruct words' un-pooled
+    th[1] mask is subtracted from the main mask
+    (reference spatial_blend.py:108-113,152-163)."""
+    from fatezero_tpu.models.tokenizer import StubTokenizer
+    from fatezero_tpu.ptp.seq_aligner import get_word_inds
+    from fatezero_tpu.ptp.spatial_blend import SpatialBlender
+
+    tok = StubTokenizer()
+    prompts = ["cat on mat", "dog on mat"]
+    # word 0 ("cat") is the blend word, word 2 ("mat") is subtracted
+    b_plain = SpatialBlender.create(prompts, ["cat", "dog"], tok, num_steps=10)
+    b_sub = SpatialBlender.create(
+        prompts, ["cat", "dog"], tok, num_steps=10, substruct_words=["mat", "mat"]
+    )
+    assert b_plain.substruct_layers is None
+    assert b_sub.substruct_layers is not None
+    # synthetic 2x2 cross maps: token of "cat" hot in the left column,
+    # token of "mat" hot everywhere
+    m = np.zeros((1, 1, 1, 4, 77), np.float32)
+    cat_tok = int(get_word_inds(prompts[0], "cat", tok)[0])
+    mat_tok = int(get_word_inds(prompts[0], "mat", tok)[0])
+    m[..., [0, 2], cat_tok] = 1.0
+    m[..., :, mat_tok] = 1.0
+    maps = [jnp.asarray(m)]
+    full = np.asarray(b_plain.mask_for(maps, (2, 2)))
+    carved = np.asarray(b_sub.mask_for(maps, (2, 2)))
+    assert full.sum() > 0
+    # mat covers everything at th[1]=0.3 -> carve-out kills the whole mask
+    assert carved.sum() == 0.0
+    assert (carved <= full).all()
