@@ -123,6 +123,9 @@ def main() -> None:
 
         traj, stored = invert()  # warmup compile
         jax.block_until_ready(traj)
+        # free the warmup payload before the timed run: two live copies of
+        # the ~GB stored capture would exhaust HBM
+        traj = stored = None
         t0 = time.time()
         traj, stored = invert()
         jax.block_until_ready((traj, stored))

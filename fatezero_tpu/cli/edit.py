@@ -130,16 +130,22 @@ def test(
         latents = pipe.encode_video(video)
 
     use_fused = not disk_store and not editing_config.get("save_attention_maps", False)
+    # capture the controlled sites' payloads during inversion itself (cross
+    # probs + self (q,k), HBM-resident): the edit scans then run the bare
+    # 2-row CFG forward with no replay row. The payload is ~steps x 150 MB;
+    # `stored_attention: false` falls back to replay-rematerialization for
+    # workloads whose payload exceeds HBM (many frames / high res).
+    use_stored = bool(editing_config.get("stored_attention", True))
     traj = inv_store = traj_host = stored = None
     if editing_config.get("use_invertion_latents", True):
         if use_fused:
-            # capture the controlled sites' payloads during inversion itself
-            # (cross probs + self (q,k), HBM-resident): the edit scans then
-            # run the bare 2-row CFG forward with no replay row
             with timer.phase("inversion"):
-                traj, stored = pipe.invert_fast(
-                    latents, emb_src, num_steps, capture=True
-                )
+                if use_stored:
+                    traj, stored = pipe.invert_fast(
+                        latents, emb_src, num_steps, capture=True
+                    )
+                else:
+                    traj = pipe.invert_fast(latents, emb_src, num_steps)
                 traj.block_until_ready()
         else:
             inv_store = AttentionStore(disk_store=disk_store, store_dir=logdir)

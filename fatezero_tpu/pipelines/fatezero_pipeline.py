@@ -590,6 +590,12 @@ class FateZeroPipeline:
                 ],
                 jnp.float32,
             )
+        if use_stored:
+            # edit step j consumes inversion step replay_idx[j]'s payload —
+            # indexed per step INSIDE the scan (dynamic_index_in_dim on the
+            # loop-invariant stacked arrays): a host-side gather would
+            # materialize a second full copy of the ~GB payload in HBM
+            xs["replay_pos"] = jnp.asarray(replay_idx, jnp.int32)
 
         ed = {
             "mapper": controller.mapper,
@@ -700,7 +706,7 @@ class FateZeroPipeline:
 
                 def body_inline(carry, x):
                     latent, sums, vsum = carry
-                    rep_lat, blend_lat, x, _st = x
+                    rep_lat, blend_lat, x = x
                     ep = EditParams(
                         cross_edit_kind=controller.cross_edit_kind,
                         mapper=ed["mapper"],
@@ -747,8 +753,14 @@ class FateZeroPipeline:
 
                 def body(carry, x):
                     latent, sums, vsum = carry
-                    rep_lat, blend_lat, x, st = x
+                    rep_lat, blend_lat, x = x
                     if use_stored:
+                        st = jax.tree.map(
+                            lambda a: jax.lax.dynamic_index_in_dim(
+                                a, x["replay_pos"], 0, keepdims=False
+                            ),
+                            stored_x,
+                        )
                         injected, injected_qk = st["probs"], st["qk"]
                     else:
                         injected, injected_qk = capture(rep_lat, x["replay_t"])
@@ -780,6 +792,13 @@ class FateZeroPipeline:
                         alpha_words=x["alpha_words"],
                         store_dtype=self.store_dtype,
                         injected_qk=injected_qk,
+                        # cross sites run probability-free against the
+                        # injected base; only the mid-res sites whose live
+                        # maps feed the latent blend / viz stay materialized
+                        value_space_cross=True,
+                        materialize_cross_size=s16
+                        if (use_latent_blend or viz)
+                        else None,
                     )
                     lat_in = jnp.concatenate([latent, latent], axis=0)
                     eps = self.unet.apply(
@@ -803,11 +822,10 @@ class FateZeroPipeline:
                         vsum = vsum + _viz16(ectx.captured)
                     return (new_latent, sums, vsum), outs
 
-                st_xs = stored_x if use_stored else jnp.zeros((n_used,))
                 if use_latent_blend:
-                    scan_xs = (replay_lats, blend_lats, xs, st_xs)
+                    scan_xs = (replay_lats, blend_lats, xs)
                 else:
-                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs, st_xs)
+                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs)
                 scan_body = body_inline if inline else body
                 start = traj[steps - t_start]  # noise level of the first used timestep
                 (final, _, vfinal), outs = jax.lax.scan(
@@ -819,18 +837,13 @@ class FateZeroPipeline:
 
             self._jit_cache[key] = run
         traj = self._shard_video(traj, frame_axis=2)
-        stored_x = None
-        if use_stored:
-            # per-edit-step payload = inversion step replay_idx[j]'s capture
-            idx_arr = jnp.asarray(replay_idx)
-            stored_x = jax.tree.map(lambda a: a[idx_arr], stored)
         final, outs = self._jit_cache[key](
             traj,
             cond_embeddings[-1:],
             text_embeddings,
             jnp.float32(guidance_scale),
             ed,
-            stored_x,
+            stored,
             self.unet_params,
         )
         return final, outs

@@ -392,6 +392,8 @@ class EditContext(StoreContext):
         alpha_words: jax.Array,
         store_dtype=jnp.bfloat16,
         injected_qk: Optional[Dict[str, List]] = None,
+        value_space_cross: bool = False,
+        materialize_cross_size: Optional[int] = None,
     ):
         super().__init__(
             save_self_attention=params.save_self_attention, store_dtype=store_dtype
@@ -400,8 +402,76 @@ class EditContext(StoreContext):
         self.injected_qk = injected_qk
         self.params = params
         self.alpha_words = alpha_words
+        # cross sites run probability-free against the injected base
+        # (_cross_value_space); sites whose query count equals
+        # `materialize_cross_size` still materialize — blend masks / viz
+        # consume their live cond maps (they are the tiny mid-res sites)
+        self.value_space_cross = value_space_cross
+        self.materialize_cross_size = materialize_cross_size
         self._pos = {k: 0 for k in STORE_KEYS}
         self._pos_qk = {k: 0 for k in STORE_KEYS}
+
+    def _cross_value_space(self, qh, kh, vh, scale, place, video_shape):
+        """Probability-free cross edit against the INJECTED base probs.
+
+        The live cond probabilities enter the edit only through linear ops
+        along the kv axis (replace/refine mix, reweight equalizer, alpha-
+        time-word mix), so — exactly as in InlineEditContext — they commute
+        with @V:
+
+            out_cond = base @ (m1 @ V_cond) + flash(q_c, k_c, V_cond * w2)
+
+        with m1 a [kv, kv] matrix and w2 a per-token weight (derivation at
+        InlineEditContext.value_space_attention). The stored base tensor is
+        read once from HBM (unavoidable — it IS the edit payload) but no
+        live probability tensor is ever written: the dominant controlled-
+        site HBM traffic of an edit step disappears.
+        """
+        from fatezero_tpu.ops.flash_attention import fused_attention
+
+        p = self.params
+        key = store_key(place, True)
+        pos = self._pos[key]
+        self._pos[key] = pos + 1
+        base = self.injected[key][pos][0]  # [f, h, s, kv] store layout
+
+        b, f = video_shape
+        bh = qh.shape[0] // b  # rows per batch element; cond is the last
+        kv = kh.shape[1]
+        d = vh.shape[-1]
+        aw = jnp.broadcast_to(self.alpha_words.astype(jnp.float32).reshape(-1), (kv,))
+        eq = (
+            p.equalizer[0].astype(jnp.float32)
+            if p.equalizer is not None
+            else jnp.ones((kv,), jnp.float32)
+        )
+        v_c = vh[-bh:]
+        if p.cross_edit_kind == "refine":
+            al = p.refine_alphas[0].astype(jnp.float32)
+            w1 = al * eq * aw
+            w2 = (1.0 - al) * eq * aw + (1.0 - aw)
+            E = (
+                jnp.arange(kv)[:, None] == p.refine_mapper[0][None, :]
+            ).astype(jnp.float32)
+            m1 = E * w1[None, :]
+        else:  # replace: cond = base @ mapper * eq * aw + (1-aw) * P_cond
+            w2 = 1.0 - aw
+            m1 = p.mapper[0].astype(jnp.float32) * (eq * aw)[None, :]
+        v1 = jnp.einsum("wn,bnd->bwd", m1.astype(v_c.dtype), v_c)  # [bh, kv, d]
+        term1 = jnp.einsum(
+            "fhsw,fhwd->fhsd",
+            base.astype(v_c.dtype),
+            v1.reshape(f, bh // f, kv, d),
+        ).reshape(bh, qh.shape[1], d)
+        v2 = v_c * w2[None, :, None].astype(v_c.dtype)
+        out = fused_attention(
+            qh, kh, jnp.concatenate([vh[:-bh], v2], axis=0), scale
+        )
+        out_rest, term2 = out[:-bh], out[-bh:]
+        cond = term1 + term2
+        if out_rest.shape[0] == 0:
+            return cond
+        return jnp.concatenate([out_rest, cond], axis=0)
 
     def value_space_attention(
         self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
@@ -416,10 +486,19 @@ class EditContext(StoreContext):
 
         with the mask m a per-(frame, query-row) weight. P_base@V is one
         flash attention over the injected q/k and the live cond values.
-        Cross sites return None (materialized path: their probs feed blend
-        masks and the cross-edit base, and are tiny).
+        Cross sites run probability-free too (_cross_value_space) except the
+        mid-res sites whose live maps feed blend masks / viz.
         """
-        if is_cross or self.injected_qk is None:
+        if is_cross:
+            if not self.value_space_cross or self.injected is None:
+                return None
+            if (
+                self.materialize_cross_size is not None
+                and qh.shape[1] == self.materialize_cross_size
+            ):
+                return None  # blend/viz consumers need these materialized
+            return self._cross_value_space(qh, kh, vh, scale, place, video_shape)
+        if self.injected_qk is None:
             return None
         if self.save_self_attention:
             return None  # pre-edit live self capture needs materialized maps
