@@ -27,6 +27,28 @@ def main():
     out = fused_attention(q, q, q, 0.125)
     print("fused attention ok:", out.shape, "pallas" if jax.default_backend() == "tpu" else "xla")
 
+    # flash backward probe (custom VJP / Pallas dQ+dKV kernels on TPU):
+    # grad parity against the explicit softmax formulation catches kernel
+    # regressions without the opt-in FZ_TPU_TESTS suite
+    key = jax.random.PRNGKey(0)
+    qq, kk, vv = (
+        jax.random.normal(jax.random.fold_in(key, i), (4, 256, 64), jnp.float32)
+        for i in range(3)
+    )
+
+    def loss_fused(q, k, v):
+        return fused_attention(q, k, v, 0.125).sum()
+
+    def loss_ref(q, k, v):
+        p = jax.nn.softmax((q @ k.transpose(0, 2, 1)) * 0.125, axis=-1)
+        return (p @ v).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(qq, kk, vv)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(qq, kk, vv)
+    err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_fused, g_ref))
+    assert err < 5e-2, f"flash backward deviates from reference grad: {err}"
+    print(f"fused attention grad ok: max|dq,dk,dv diff|={err:.2e}")
+
 
 if __name__ == "__main__":
     main()
