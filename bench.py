@@ -109,20 +109,30 @@ def main() -> None:
             save_self_attention=SAVE_SELF,
         )
 
+    stored = None
+    replay = bool(int(os.environ.get("BENCH_REPLAY", 0)))
     if MODE == "fused":
         # capture=True: the inversion scan also emits the controlled sites'
         # payloads (cross probs + self (q,k)) as HBM-resident stacked arrays;
         # the edit scan then runs the bare 2-row CFG forward per step with no
         # replay row. BENCH_REPLAY=1 benchmarks the replay variant instead.
-        replay = bool(int(os.environ.get("BENCH_REPLAY", 0)))
 
         def invert():
             if replay:
                 return pipe.invert_fast(latents, emb_src, STEPS), None
             return pipe.invert_fast(latents, emb_src, STEPS, capture=True)
 
-        traj, stored = invert()  # warmup compile
-        jax.block_until_ready(traj)
+        try:
+            traj, stored = invert()  # warmup compile
+            jax.block_until_ready(traj)
+        except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
+            if "RESOURCE_EXHAUSTED" not in str(e) or replay:
+                raise
+            # payload + workspace exceeded HBM at this workload: fall back to
+            # replay-rematerialization (the stored_attention: false path)
+            replay = True
+            traj, stored = invert()
+            jax.block_until_ready(traj)
         # free the warmup payload before the timed run: two live copies of
         # the ~GB stored capture would exhaust HBM
         traj = stored = None
@@ -137,7 +147,13 @@ def main() -> None:
             )
             return out
 
-        jax.block_until_ready(edit())  # warmup compile
+        try:
+            jax.block_until_ready(edit())  # warmup compile
+        except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
+            if "RESOURCE_EXHAUSTED" not in str(e) or stored is None:
+                raise
+            stored = None  # drop the payload; edit replays/rematerializes
+            jax.block_until_ready(edit())
         t0 = time.time()
         out = edit()
         jax.block_until_ready(out)
@@ -184,6 +200,7 @@ def main() -> None:
             "edit_s": round(t_edit, 2),
             "backend": jax.default_backend(),
             "mode": MODE,
+            "stored_payload": MODE == "fused" and not replay and stored is not None,
             "model_config": "default (full-SC stress)"
             if FULL_SC
             else "teaser-exact (lora160, ['mid'], least_sc_channel=640, eq x10)",
