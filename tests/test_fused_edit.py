@@ -141,6 +141,33 @@ def test_edit_fast_stored_matches_replay(pipe, latents, embs, with_blends):
     )
 
 
+def test_edit_fast_stored_no_inversion_attention(pipe, latents, embs):
+    """use_inversion_attention=False replays forward-order trajectory latents
+    at edit-order timesteps — which is exactly unet(traj[j], ts_up[j]), the
+    inversion forward: stored payloads must line up for this setting too."""
+    emb_src, emb_tgt = embs
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.8,
+        self_replace_steps=0.5,
+        use_inversion_attention=False,
+    )
+    traj, stored = pipe.invert_fast(latents, emb_src, STEPS, capture=True)
+    out_replay, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    out_stored, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS,
+        stored=stored,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_replay), np.asarray(out_stored), atol=5e-4, rtol=5e-4
+    )
+
+
 def test_edit_fast_stored_with_strength(pipe, latents, embs):
     """stored mode + strength<1: payload indices follow the shifted grid."""
     emb_src, emb_tgt = embs
