@@ -141,10 +141,21 @@ def test(
         if use_fused:
             with timer.phase("inversion"):
                 if use_stored:
-                    traj, stored = pipe.invert_fast(
-                        latents, emb_src, num_steps, capture=True
-                    )
-                else:
+                    try:
+                        traj, stored = pipe.invert_fast(
+                            latents, emb_src, num_steps, capture=True
+                        )
+                        traj.block_until_ready()
+                    except Exception as e:  # noqa: BLE001 — HBM fallback
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        log.warning(
+                            "attention payload exceeds device memory at this "
+                            "workload; falling back to replay "
+                            "rematerialization (stored_attention: false)"
+                        )
+                        traj = stored = None
+                if traj is None:
                     traj = pipe.invert_fast(latents, emb_src, num_steps)
                 traj.block_until_ready()
         else:
