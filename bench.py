@@ -38,7 +38,45 @@ SAVE_SELF = bool(int(os.environ.get("BENCH_SAVE_SELF", 1)))
 # (config/teaser/jeep_watercolor.yaml:81-82). BENCH_FULL_SC=1 benchmarks the
 # heavier default (-1,'first') gather instead.
 FULL_SC = bool(int(os.environ.get("BENCH_FULL_SC", 0)))
+# measure the product-default viz-on edit (save_cross_attention: true) next
+# to the headline viz-off edit; BENCH_VIZ=0 skips the extra timed run
+VIZ = bool(int(os.environ.get("BENCH_VIZ", 1)))
 BASELINE_S = 100.0  # 60 s inversion + 40 s edit, docs/EditingGuidance.md:74
+
+
+def _flash_grad_parity_probe() -> float:
+    """Pallas flash fwd+bwd vs explicit softmax, run EVERY bench invocation.
+
+    The driver executes bench.py on real TPU hardware each round, so this is
+    the always-on chip-side regression gate: a Mosaic/kernel regression fails
+    the bench loudly instead of hiding behind the opt-in FZ_TPU_TESTS suite.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from fatezero_tpu.ops.flash_attention import fused_attention
+
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (4, 256, 64), jnp.float32)
+        for i in range(3)
+    )
+
+    def loss_fused(q, k, v):
+        return fused_attention(q, k, v, 0.125).sum()
+
+    def loss_ref(q, k, v):
+        p = jax.nn.softmax((q @ k.transpose(0, 2, 1)) * 0.125, axis=-1)
+        return (p @ v).sum()
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    err = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(g_fused, g_ref))
+    if not err < 5e-2:
+        raise AssertionError(
+            f"flash-attention backward deviates from reference grad: {err}"
+        )
+    return err
 
 
 def main() -> None:
@@ -51,6 +89,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
+    from fatezero_tpu.common.errors import is_device_oom
     from fatezero_tpu.models.clip import CLIPTextModel
     from fatezero_tpu.models.tokenizer import StubTokenizer
     from fatezero_tpu.models.unet3d import UNet3DConfig, UNetPseudo3DConditionModel
@@ -61,6 +100,8 @@ def main() -> None:
 
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    flash_grad_err = _flash_grad_parity_probe()
 
     # teaser mode is the reference "basic" workload EXACTLY: temporal LoRA
     # rank 160, SparseCausalAttention ['mid'], least_sc_channel 640
@@ -110,6 +151,7 @@ def main() -> None:
         )
 
     stored = None
+    t_edit_viz = None
     replay = bool(int(os.environ.get("BENCH_REPLAY", 0)))
     if MODE == "fused":
         # capture=True: the inversion scan also emits the controlled sites'
@@ -126,7 +168,7 @@ def main() -> None:
             traj, stored = invert()  # warmup compile
             jax.block_until_ready(traj)
         except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
-            if "RESOURCE_EXHAUSTED" not in str(e) or replay:
+            if not is_device_oom(e) or replay:
                 raise
             # payload + workspace exceeded HBM at this workload: fall back to
             # replay-rematerialization (the stored_attention: false path)
@@ -150,7 +192,7 @@ def main() -> None:
         try:
             jax.block_until_ready(edit())  # warmup compile
         except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
-            if "RESOURCE_EXHAUSTED" not in str(e) or stored is None:
+            if not is_device_oom(e) or stored is None:
                 raise
             stored = None  # drop the payload; edit replays/rematerializes
             jax.block_until_ready(edit())
@@ -158,6 +200,22 @@ def main() -> None:
         out = edit()
         jax.block_until_ready(out)
         t_edit = time.time() - t0
+
+        if VIZ:
+            # product-default configuration: save_cross_attention=True in
+            # P2pSampleLogger -> edit_fast(viz=True), which materializes the
+            # five mid-res cross sites and accumulates the heatmap average
+            def edit_viz():
+                out, aux = pipe.edit_fast(
+                    traj, emb_src, emb_tgt, controller(), STEPS,
+                    stored=stored, viz=True,
+                )
+                return out, aux["cross_avg"]
+
+            jax.block_until_ready(edit_viz())  # warmup compile
+            t0 = time.time()
+            jax.block_until_ready(edit_viz())
+            t_edit_viz = time.time() - t0
     else:
         # reference-shaped streaming store path
         # warmup: must use a throwaway store — capture/no-capture are
@@ -198,6 +256,10 @@ def main() -> None:
         "detail": {
             "invert_s": round(t_invert, 2),
             "edit_s": round(t_edit, 2),
+            "edit_viz_s": round(t_edit_viz, 2)
+            if MODE == "fused" and t_edit_viz is not None
+            else None,
+            "flash_grad_err": round(flash_grad_err, 6),
             "backend": jax.default_backend(),
             "mode": MODE,
             "stored_payload": MODE == "fused" and not replay and stored is not None,

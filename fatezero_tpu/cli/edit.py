@@ -147,7 +147,9 @@ def test(
                         )
                         traj.block_until_ready()
                     except Exception as e:  # noqa: BLE001 — HBM fallback
-                        if "RESOURCE_EXHAUSTED" not in str(e):
+                        from fatezero_tpu.common.errors import is_device_oom
+
+                        if not is_device_oom(e):
                             raise
                         log.warning(
                             "attention payload exceeds device memory at this "

@@ -50,6 +50,7 @@ def train(
     logdir: Optional[str] = None,
     validation_sample_logger_config: Optional[dict] = None,
     editing_config: Optional[dict] = None,
+    trainer_pipeline_config: Optional[dict] = None,
     sharding: Optional[dict] = None,
     **kwargs,
 ):
@@ -106,12 +107,12 @@ def train(
     if dataset_config.get("class_data_root"):
         class_emb = pipe.encode_prompt(dataset_config.get("class_data_prompt", ""))[-1:]
 
-    trainer = DDPMTrainer(
-        bundle.unet,
-        bundle.vae,
-        pipe.vae_params,
-        bundle.text_encoder,
-        pipe.text_params,
+    trainer_kwargs = dict(
+        unet=bundle.unet,
+        vae=bundle.vae,
+        vae_params=pipe.vae_params,
+        text_encoder=bundle.text_encoder,
+        text_params=pipe.text_params,
         schedule=bundle.schedule,
         learning_rate=learning_rate,
         lr_scheduler=lr_scheduler,
@@ -121,6 +122,14 @@ def train(
         use_8bit_adam=use_8bit_adam,
         prior_preservation=prior_preservation,
     )
+    if trainer_pipeline_config and trainer_pipeline_config.get("target"):
+        # trainer class selected from config, as the reference instantiates
+        # its trainer via instantiate_from_config (train_tune_a_video.py:277-278)
+        from fatezero_tpu.common.config import instantiate_from_config
+
+        trainer = instantiate_from_config(trainer_pipeline_config, **trainer_kwargs)
+    else:
+        trainer = DDPMTrainer(**trainer_kwargs)
     state = trainer.init_state(pipe.unet_params)
     start_step = 0
     resume_from = kwargs.get("resume_from")

@@ -46,10 +46,13 @@ def preprocess_frames(video: np.ndarray, image_size: int = 224) -> jnp.ndarray:
 class CLIPEvaluator:
     """Holds the dual-tower model + params and the jitted metric kernels."""
 
-    def __init__(self, model, params, tokenizer):
+    def __init__(self, model, params, tokenizer, random_weights: bool = False):
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
+        # True when no pretrained CLIP was loaded: metrics are mechanically
+        # valid but semantically meaningless, and every report says so
+        self.random_weights = random_weights
         # params as jit arguments, never closure constants (HLO-inlined
         # weights blow up remote-compile requests)
         self._embed = jax.jit(
@@ -108,9 +111,11 @@ class CLIPEvaluator:
         (the bench_clean_prompt.yaml triplets); returns dataset means."""
         accs, cons = [], []
         per_item = {}
+        missing = []
         for item in bench:
             folder = os.path.join(results_root, item["folder"])
             if not os.path.isdir(folder):
+                missing.append(item["folder"])
                 continue
             acc, con = self.folder_success(
                 folder, item["source_prompt"], item["target_prompt"]
@@ -118,10 +123,20 @@ class CLIPEvaluator:
             per_item[item["folder"]] = {"frame_acc": acc, "tem_con": con}
             accs.append(acc)
             cons.append(con)
+        if missing:
+            import warnings
+
+            warnings.warn(
+                f"evaluate_benchmark: {len(missing)}/{len(bench)} bench folders "
+                f"missing under {results_root!r} and skipped: {missing}",
+                stacklevel=2,
+            )
         return {
             "frame_acc": float(np.mean(accs)) if accs else float("nan"),
             "tem_con": float(np.mean(cons)) if cons else float("nan"),
             "n": len(accs),
+            "missing": missing,
+            "random_weights": self.random_weights,
             "per_item": per_item,
         }
 
@@ -144,6 +159,7 @@ def load_evaluator(
         seed=seed,
     )
     tokenizer = StubTokenizer(vocab_size=49408)
+    random_weights = True
     if checkpoint_path and os.path.isdir(checkpoint_path):
         from fatezero_tpu.convert.torch_to_flax import (
             convert_clip_full_state,
@@ -156,4 +172,15 @@ def load_evaluator(
         )
         if os.path.exists(os.path.join(checkpoint_path, "vocab.json")):
             tokenizer = CLIPTokenizer.from_pretrained(checkpoint_path, subfolder="")
-    return CLIPEvaluator(model, params, tokenizer)
+        random_weights = False
+    else:
+        import warnings
+
+        warnings.warn(
+            "load_evaluator: no CLIP checkpoint"
+            + (f" at {checkpoint_path!r}" if checkpoint_path else " given")
+            + " — evaluator runs with RANDOM weights; Frame-Acc/Tem-Con values "
+            "are mechanics-only and semantically meaningless",
+            stacklevel=2,
+        )
+    return CLIPEvaluator(model, params, tokenizer, random_weights=random_weights)

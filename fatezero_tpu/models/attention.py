@@ -92,7 +92,13 @@ class Attention(nn.Module):
                     from fatezero_tpu.ops.video_ops import referenced_frames
 
                     refs = referenced_frames(f, sparse_indices)
-                    k_sel = k_pre[:, refs].reshape(b * len(refs), s, inner)
+                    # identity shortcut: when every frame is referenced (e.g.
+                    # (-1,'first')) the "gather" is the tensor itself — an
+                    # index-gather here would make GSPMD all-gather the full
+                    # K across a seq-sharded mesh for nothing
+                    k_sel = (
+                        k_pre if refs == list(range(f)) else k_pre[:, refs]
+                    ).reshape(b * len(refs), s, inner)
                     k_store = _split_heads(k_sel, self.heads)
                     sparse_meta = (tuple(sparse_indices), f, self.heads)
                 k = gather_sparse_kv(k_pre, sparse_indices, f)

@@ -107,9 +107,114 @@ def gather_sparse_kv(kv: jax.Array, index_spec, num_frames: int) -> jax.Array:
 
     kv: [B, F, S, C] -> [B, F, len(index_spec)*S, C] by concatenating the
     tokens of each selected source frame (static gather = slices for XLA).
+
+    When a sequence-parallel mesh is active (FateZeroPipeline.shard sets it
+    via parallel.sharding.seq_mesh_scope) and the spec is halo-expressible,
+    the gather runs as an explicit shard_map halo exchange over the 'seq'
+    axis: one collective-permute of the |offset| boundary frames per int
+    offset and one single-frame masked-psum broadcast per anchor. GSPMD
+    lowers the plain index-gather form to an all-gather of the FULL KV
+    across 'seq' (F frames moved instead of 1-2) — see
+    tests/test_sharded_comm.py for the pinned HLO evidence.
     """
+    from fatezero_tpu.parallel.sharding import current_seq_mesh
+
+    mesh = current_seq_mesh()
+    if mesh is not None and _halo_supported(mesh, kv, index_spec, num_frames):
+        return _gather_sparse_kv_halo(kv, index_spec, num_frames, mesh)
     idx_list = sparse_frame_indices(num_frames, index_spec)
     return jnp.concatenate([kv[:, idx] for idx in idx_list], axis=2)
+
+
+_ANCHORS = ("first", "last", "mid", "middle")
+
+
+def _halo_supported(mesh, kv: jax.Array, index_spec, num_frames: int) -> bool:
+    n_seq = dict(zip(mesh.axis_names, mesh.devices.shape)).get("seq", 1)
+    n_tensor = dict(zip(mesh.axis_names, mesh.devices.shape)).get("tensor", 1)
+    if n_seq <= 1 or kv.ndim != 4 or kv.shape[1] != num_frames:
+        return False
+    if num_frames % n_seq != 0 or kv.shape[-1] % n_tensor != 0:
+        return False
+    f_loc = num_frames // n_seq
+    for index in index_spec:
+        if isinstance(index, str):
+            if index not in _ANCHORS:
+                return False
+        elif abs(int(index)) > f_loc:
+            return False  # multi-hop halo; fall back to the dense gather
+    return True
+
+
+def _gather_sparse_kv_halo(
+    kv: jax.Array, index_spec, num_frames: int, mesh
+) -> jax.Array:
+    """shard_map halo exchange: kv [B, F, S, C] frames sharded over 'seq'.
+
+    Per-shard comm: |offset| boundary frames via collective-permute per int
+    offset; one frame via masked psum (broadcast) per first/last/mid anchor.
+    The batch row axis is replicated (CFG rows, not data-sharded in the
+    inference paths) and the channel axis keeps its megatron 'tensor'
+    sharding, so the exchange rides the seq axis only.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_seq = dict(zip(mesh.axis_names, mesh.devices.shape))["seq"]
+
+    def local(kv_loc: jax.Array) -> jax.Array:
+        p = jax.lax.axis_index("seq")
+        f_loc = kv_loc.shape[1]
+        parts = []
+        for index in index_spec:
+            if isinstance(index, str):
+                g = {"first": 0, "last": num_frames - 1}.get(
+                    index, (num_frames - 1) // 2
+                )
+                owner, a_loc = divmod(g, f_loc)
+                contrib = jnp.where(
+                    p == owner,
+                    kv_loc[:, a_loc : a_loc + 1],
+                    jnp.zeros_like(kv_loc[:, :1]),
+                )
+                frame = jax.lax.psum(contrib, "seq")
+                parts.append(jnp.broadcast_to(frame, kv_loc.shape))
+                continue
+            o = int(index)
+            if o == 0:
+                parts.append(kv_loc)
+            elif o < 0:
+                m = -o
+                recv = jax.lax.ppermute(
+                    kv_loc[:, f_loc - m :], "seq",
+                    [(i, i + 1) for i in range(n_seq - 1)],
+                )
+                # shard 0 clamps to its own frame 0 (clip semantics)
+                head = jnp.where(
+                    p == 0, jnp.repeat(kv_loc[:, :1], m, axis=1), recv
+                )
+                body = kv_loc[:, : f_loc - m]
+                parts.append(
+                    jnp.concatenate([head, body], axis=1) if f_loc > m else head
+                )
+            else:
+                recv = jax.lax.ppermute(
+                    kv_loc[:, :o], "seq", [(i + 1, i) for i in range(n_seq - 1)]
+                )
+                tail = jnp.where(
+                    p == n_seq - 1, jnp.repeat(kv_loc[:, -1:], o, axis=1), recv
+                )
+                body = kv_loc[:, o:]
+                parts.append(
+                    jnp.concatenate([body, tail], axis=1) if f_loc > o else tail
+                )
+        return jnp.concatenate(parts, axis=2)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, "seq", None, "tensor"),
+        out_specs=P(None, "seq", None, "tensor"),
+    )(kv)
 
 
 def referenced_frames(num_frames: int, index_spec) -> List[int]:

@@ -17,6 +17,8 @@ NCCL-style explicit communication anywhere.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
 from typing import Optional, Sequence
 
 import jax
@@ -24,6 +26,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXES = ("data", "seq", "tensor")
+
+# Ambient sequence-parallel mesh, set by FateZeroPipeline while tracing its
+# jitted programs. ops/video_ops.gather_sparse_kv consults it at trace time:
+# when a seq mesh is active the sparse-causal KV gather runs as an explicit
+# shard_map halo exchange (one collective-permute of the boundary frames per
+# int offset + one single-frame broadcast per anchor) instead of relying on
+# GSPMD, which lowers the equivalent index-gather to an all-gather of the
+# FULL per-site KV across the 'seq' axis (measured: f32[1,8,1024,320] per
+# site vs one bf16 frame; see tests/test_sharded_comm.py).
+_SEQ_MESH: contextvars.ContextVar[Optional[Mesh]] = contextvars.ContextVar(
+    "fatezero_seq_mesh", default=None
+)
+
+
+@contextlib.contextmanager
+def seq_mesh_scope(mesh: Optional[Mesh]):
+    token = _SEQ_MESH.set(mesh)
+    try:
+        yield mesh
+    finally:
+        _SEQ_MESH.reset(token)
+
+
+def current_seq_mesh() -> Optional[Mesh]:
+    return _SEQ_MESH.get()
 
 
 def make_mesh(
@@ -64,7 +91,17 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
     if not want:
         return False
     if not _DISTRIBUTED_INITIALIZED:
-        jax.distributed.initialize()
+        # jax.distributed.initialize only auto-reads the coordinator address
+        # from the environment; on a generic (non-SLURM/GKE) launch
+        # num_processes/process_id must be passed explicitly or bring-up
+        # fails. Exercised by tests/test_multiprocess.py on a real
+        # 2-process CPU cluster.
+        kwargs = {}
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+        jax.distributed.initialize(**kwargs)
         _DISTRIBUTED_INITIALIZED = True
     return True
 

@@ -137,6 +137,26 @@ class FateZeroPipeline:
         self._jit_cache.clear()
         return self
 
+    def _traced(self, fn):
+        """Run `fn` (a jitted program) under the ambient seq-mesh scope.
+
+        Tracing happens on the first call, so wrapping every call makes
+        gather_sparse_kv see the mesh at trace time and emit the shard_map
+        halo exchange instead of a GSPMD full-KV all-gather. No-op when the
+        pipeline is unsharded.
+        """
+        if self.mesh is None:
+            return fn
+        from fatezero_tpu.parallel.sharding import seq_mesh_scope
+
+        mesh = self.mesh
+
+        def wrapped(*args, **kwargs):
+            with seq_mesh_scope(mesh):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     def _shard_video(self, x: jax.Array, frame_axis: int = 1) -> jax.Array:
         """Place a [..., F, H, W, C] array with frames over the 'seq' axis."""
         if self.mesh is None:
@@ -227,7 +247,7 @@ class FateZeroPipeline:
                 )
                 return new_latent, ctx.captured if capture else {}
 
-            self._jit_cache[key] = step
+            self._jit_cache[key] = self._traced(step)
         step_fn = self._jit_cache[key]
 
         cond = cond_embeddings[-1:]  # cond half only
@@ -282,7 +302,7 @@ class FateZeroPipeline:
                 lat, _ = jax.lax.scan(body, latent, timesteps)
                 return lat
 
-            self._jit_cache[key] = run
+            self._jit_cache[key] = self._traced(run)
         return self._jit_cache[key](
             latents.astype(jnp.float32), text_embeddings, jnp.float32(guidance_scale), self.unet_params
         )
@@ -498,7 +518,7 @@ class FateZeroPipeline:
                 traj = jnp.concatenate([latent[None], stacked], axis=0)
                 return (traj, stored) if capture else traj
 
-            self._jit_cache[key] = run
+            self._jit_cache[key] = self._traced(run)
         latents = self._shard_video(latents.astype(jnp.float32), frame_axis=1)
         return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
 
@@ -835,7 +855,7 @@ class FateZeroPipeline:
                     outs["cross_avg"] = vfinal / n_used
                 return final, outs
 
-            self._jit_cache[key] = run
+            self._jit_cache[key] = self._traced(run)
         traj = self._shard_video(traj, frame_axis=2)
         final, outs = self._jit_cache[key](
             traj,
@@ -862,7 +882,7 @@ class FateZeroPipeline:
                 new_latent = S.ddim_denoise_step(self.schedule, eps, t, latent, num_steps)
                 return new_latent, ctx.captured
 
-            self._jit_cache[key] = step
+            self._jit_cache[key] = self._traced(step)
         return self._jit_cache[key]
 
     def _edit_step(
@@ -959,5 +979,5 @@ class FateZeroPipeline:
                         new_latent = apply_latent_blend(new_latent, inv_latent, lmask)
                 return new_latent, ctx.captured, new_sums, masks_out
 
-            self._jit_cache[key] = step
+            self._jit_cache[key] = self._traced(step)
         return self._jit_cache[key]

@@ -191,6 +191,19 @@ class P2pSampleLogger:
                     inverted_latents=inverted_latents,
                     strength=self.strength,
                 )
+            if edit_aux is not None and controller is not None:
+                # the fused scan stacks the per-step blend masks; write the
+                # reference's mask PNG artifacts (spatial_blend.py:43-55) just
+                # like the streaming path does per step
+                for aux_key, blender in (
+                    ("attn_mask", controller.attention_blend),
+                    ("latent_mask", controller.latent_blend),
+                ):
+                    if blender is None or aux_key not in edit_aux:
+                        continue
+                    for step_mask in np.asarray(edit_aux[aux_key], np.float32):
+                        blender.counter += 1
+                        blender.record(step_mask, f"step{blender.counter - 1:03d}")
             video = pipeline.decode_latents(latent)
             tag = f"{idx}_{prompt[:80].replace(' ', '_')}"
             save_gif_mp4_folder_type(video, os.path.join(self.logdir, f"{tag}.gif"))

@@ -68,6 +68,40 @@ def test_pipeline_config_target_is_honored(tmp_path, monkeypatch):
     assert kw is not None and "unet" in kw and "unet_params" in kw
 
 
+class MarkerTrainer:
+    """Target for the trainer-side instantiate_from_config test."""
+
+    instantiated_with = None
+
+    def __init__(self, **kwargs):
+        type(self).instantiated_with = kwargs
+        raise _MarkerStop()
+
+
+def test_trainer_pipeline_config_target_is_honored(tmp_path, monkeypatch):
+    """`trainer_pipeline_config.target` selects the trainer class via
+    instantiate_from_config (reference train_tune_a_video.py:277-278)."""
+    monkeypatch.chdir(tmp_path)
+    from fatezero_tpu.cli.train import train as tune_train
+
+    with pytest.raises(_MarkerStop):
+        tune_train(
+            config="x.yaml",
+            pretrained_model_path="random:tiny",
+            dataset_config={
+                "path": "/root/reference/data/teaser_car-turn",
+                "prompt": "a jeep",
+                "n_sample_frame": 2,
+                "sampling_rate": 2,
+                "image_size": 64,
+            },
+            train_steps=1,
+            trainer_pipeline_config={"target": "test_cli.MarkerTrainer"},
+        )
+    kw = MarkerTrainer.instantiated_with
+    assert kw is not None and "unet" in kw and "schedule" in kw
+
+
 @pytest.mark.slow
 def test_cli_sharded_matches_single_device(tmp_path, monkeypatch):
     """The user-reachable sharding path: the same config run through the real
@@ -102,3 +136,12 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert len(frames) == 4
     img = Image.open(os.path.join(frame_dir, frames[0]))
     assert img.size == (64, 64)
+    # the fused default path writes the reference's per-step blend-mask PNGs
+    # (spatial_blend.py:43-55): prompt 1 has blend_words + both blends on
+    for mask_dir in ("latent_blend_mask", "attention_blend_mask"):
+        d = os.path.join(logdir, "prompt_1", mask_dir)
+        pngs = [f for f in os.listdir(d) if f.endswith(".png")]
+        # one PNG per (step, frame): 4 steps x 4 frames
+        assert len(pngs) == 16, (d, pngs)
+        m = np.asarray(Image.open(os.path.join(d, sorted(pngs)[0])))
+        assert m.ndim == 2 and set(np.unique(m)) <= {0, 255}

@@ -14,7 +14,11 @@ import jax.numpy as jnp
 def test_metrics_mechanics(tmp_path):
     from fatezero_tpu.eval.clip_metrics import load_evaluator
 
-    ev = load_evaluator(None, seed=0)
+    # no checkpoint -> a loud random-weights warning, and the evaluator
+    # carries the flag into every report (no silent plausible-looking values)
+    with pytest.warns(UserWarning, match="RANDOM weights"):
+        ev = load_evaluator(None, seed=0)
+    assert ev.random_weights
     rng = np.random.RandomState(0)
     frame = rng.rand(1, 64, 64, 3).astype(np.float32)
     static = np.repeat(frame, 4, axis=0)
@@ -57,10 +61,14 @@ def test_evaluate_cli_reference_schema(tmp_path, capsys):
     bench = os.path.join(
         os.path.dirname(__file__), os.pardir, "config", "bench_clean_prompt.yaml"
     )
-    out = evaluate.run(bench, results_root=str(tmp_path))
+    with pytest.warns(UserWarning):  # random CLIP + missing folders, loudly
+        out = evaluate.run(bench, results_root=str(tmp_path))
     assert out["n"] == 2
     assert set(out["per_item"]) == {"swan_cartoon", "car_watercolor"}
     assert np.isfinite(out["frame_acc"]) and np.isfinite(out["tem_con"])
+    # the other bench entries have no result folders: reported, not hidden
+    assert out["missing"] and "swan_cartoon" not in out["missing"]
+    assert out["random_weights"] is True
 
 
 def test_normalize_bench_both_schemas():
