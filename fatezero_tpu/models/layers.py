@@ -106,10 +106,15 @@ class FusedLayerNorm(nn.Module):
 class FusedGroupNorm(nn.Module):
     """nn.GroupNorm drop-in (same 'scale'/'bias' params) with the TPU-fast
     stats formulation (ops/fused_norm.py). Input any [..., C]; stats are per
-    leading-axis sample over everything else, like flax/torch GroupNorm."""
+    sample over everything past the first `batch_dims` axes (batch_dims=1 is
+    flax/torch GroupNorm; batch_dims=2 keeps per-(batch, frame) stats on 5-D
+    video without folding frames into batch — the fold would merge a
+    replicated row axis over a seq-sharded frame axis, which GSPMD cannot
+    represent and answers with a full all-gather)."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    batch_dims: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -119,6 +124,6 @@ class FusedGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        folded = x.reshape(x.shape[0], -1, c)
+        folded = x.reshape(*x.shape[: self.batch_dims], -1, c)
         out = group_norm(folded, scale, bias, self.num_groups, self.epsilon)
         return out.reshape(x.shape).astype(self.dtype)

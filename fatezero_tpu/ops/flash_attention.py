@@ -363,14 +363,47 @@ def flash_attention(
 
 
 def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Reference XLA path (CPU tests / tiny shapes): fp32 softmax, same API."""
-    s = jnp.einsum("bsd,btd->bst", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    """Reference XLA path (CPU tests / tiny shapes): fp32 softmax.
+
+    Accepts arbitrary (broadcastable) leading batch dims — e.g. 5-D
+    [b, f, h, s, d] video attention with a frame-broadcast cross context
+    [b, 1, h, kv, d]. No leading-dim reshape happens, so a seq-sharded frame
+    axis stays sharded through the whole site (GSPMD cannot represent a
+    sharding on a (rows f)-merged axis when rows > 1)."""
+    s = (
+        jnp.einsum("...sd,...td->...st", q.astype(jnp.float32), k.astype(jnp.float32))
+        * scale
+    )
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bst,btd->bsd", p, v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("...st,...td->...sd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
-    """Backend dispatch: Pallas flash kernel on TPU, XLA einsum elsewhere."""
-    if jax.default_backend() == "tpu" and q.shape[1] >= 256:
-        return flash_attention(q, k, v, scale)
+    """Backend dispatch: Pallas flash kernel on TPU, XLA einsum elsewhere.
+
+    q: [..., S, D]; k/v: [..., KV, D] with leading dims broadcastable against
+    q's. Leading dims fold to kernel rows only on the single-chip Pallas path
+    (a mesh-traced call keeps the unfolded XLA form so the frame axis stays
+    shardable — pallas_call under a mesh would need shard_map anyway).
+    """
+    if (
+        jax.default_backend() == "tpu"
+        and q.shape[-2] >= 256
+        and _ambient_seq_mesh() is None
+    ):
+        lead = q.shape[:-2]
+        if k.shape[:-2] != lead:
+            k = jnp.broadcast_to(k, lead + k.shape[-2:])
+            v = jnp.broadcast_to(v, lead + v.shape[-2:])
+        q3 = q.reshape(-1, *q.shape[-2:])
+        out = flash_attention(
+            q3, k.reshape(-1, *k.shape[-2:]), v.reshape(-1, *v.shape[-2:]), scale
+        )
+        return out.reshape(*lead, *out.shape[-2:])
     return xla_attention(q, k, v, scale)
+
+
+def _ambient_seq_mesh():
+    from fatezero_tpu.parallel.sharding import current_seq_mesh
+
+    return current_seq_mesh()

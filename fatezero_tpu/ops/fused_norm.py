@@ -107,25 +107,28 @@ layer_norm.defvjp(_ln_vjp_fwd, _ln_vjp_bwd)
 
 
 def group_norm(x, scale, bias, groups=32, eps=1e-5):
-    """GroupNorm; x [B, S, C] (S = folded spatial/frames), scale/bias [C].
+    """GroupNorm; x [..., S, C] (S = folded spatial; leading dims = samples),
+    scale/bias [C].
 
     Laid out for the TPU: flax's nn.GroupNorm lowers the (S, C/groups)
     reduction as a segmented cross-lane reduce (C/groups = 10-40 lanes) with a
     transposed stats layout — measured ~30 GB/s. This formulation first
     column-sums over S (a sublane reduction at HBM speed), then does the
-    group split on the tiny [B, C] result, and normalizes in one fused
+    group split on the tiny [..., C] result, and normalizes in one fused
     elementwise pass. Numerics identical (fp32 stats, E[x^2]-E[x]^2).
+    Leading dims are never reshaped, so a seq-sharded frame axis stays
+    sharded through the norm.
     """
-    b, s, c = x.shape
+    *lead, s, c = x.shape
     xf = x.astype(jnp.float32)
-    colsum = jnp.sum(xf, axis=1)  # [B, C] — sublane reduce, fast
-    colsumsq = jnp.sum(jnp.square(xf), axis=1)
+    colsum = jnp.sum(xf, axis=-2)  # [..., C] — sublane reduce, fast
+    colsumsq = jnp.sum(jnp.square(xf), axis=-2)
     n = s * (c // groups)
-    gsum = colsum.reshape(b, groups, c // groups).sum(-1)  # [B, G] tiny
-    gsumsq = colsumsq.reshape(b, groups, c // groups).sum(-1)
+    gsum = colsum.reshape(*lead, groups, c // groups).sum(-1)  # [..., G] tiny
+    gsumsq = colsumsq.reshape(*lead, groups, c // groups).sum(-1)
     gmean = gsum / n
     grstd = jax.lax.rsqrt(gsumsq / n - jnp.square(gmean) + eps)
-    cmean = jnp.repeat(gmean, c // groups, axis=-1)[:, None, :]  # [B, 1, C]
-    crstd = jnp.repeat(grstd, c // groups, axis=-1)[:, None, :]
+    cmean = jnp.repeat(gmean, c // groups, axis=-1)[..., None, :]  # [..., 1, C]
+    crstd = jnp.repeat(grstd, c // groups, axis=-1)[..., None, :]
     y = (xf - cmean) * crstd
     return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)

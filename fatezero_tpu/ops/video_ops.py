@@ -234,17 +234,16 @@ def regather_headsplit_kv(
 ) -> jax.Array:
     """Rebuild the post-gather head-split KV from its referenced-frame subset.
 
-    kv_sel: [n_ref*heads, S, d] — the head-split per-frame KV of the frames
-    `referenced_frames` returns, in that order. Returns [F*heads, k*S, d],
-    identical to head-splitting gather_sparse_kv's output.
+    kv_sel: [b, n_ref, heads, S, d] — the head-split per-frame KV of the
+    frames `referenced_frames` returns, in that order. Returns
+    [b, F, heads, k*S, d], identical to head-splitting gather_sparse_kv's
+    output.
     """
     refs = referenced_frames(num_frames, index_spec)
     pos = {fi: p for p, fi in enumerate(refs)}
     idx_list = sparse_frame_indices(num_frames, index_spec)
-    s, d = kv_sel.shape[-2:]
-    k4 = kv_sel.reshape(len(refs), heads, s, d)
     per_frame = []
     for fi in range(num_frames):
-        parts = [k4[pos[int(arr[fi])]] for arr in idx_list]  # each [h, s, d]
-        per_frame.append(jnp.concatenate(parts, axis=1))  # [h, k*s, d]
-    return jnp.stack(per_frame, 0).reshape(num_frames * heads, -1, d)
+        parts = [kv_sel[:, pos[int(arr[fi])]] for arr in idx_list]  # [b, h, s, d]
+        per_frame.append(jnp.concatenate(parts, axis=-2))  # [b, h, k*s, d]
+    return jnp.stack(per_frame, axis=1)  # [b, F, h, k*s, d]

@@ -787,7 +787,7 @@ class FateZeroPipeline:
                     self_masks = mask_viz = None
                     if use_attn_blend:
                         self_sizes = {
-                            int(q.shape[1])
+                            int(q.shape[-2])
                             for lst in injected_qk.values()
                             for (q, _k) in lst
                         }

