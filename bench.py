@@ -164,14 +164,34 @@ def main() -> None:
                 return pipe.invert_fast(latents, emb_src, STEPS), None
             return pipe.invert_fast(latents, emb_src, STEPS, capture=True)
 
+        # proactive HBM gate: a failed on-device capture costs ~10 min of
+        # runtime OOM-retry before raising, so predict the payload size
+        # (pure eval_shape, no device work) and skip capture when it cannot
+        # fit. FZ_PAYLOAD_BUDGET_GB overrides (v5e: 16 GB HBM - ~2 GB params
+        # - workspace/trajectory leaves ~8 GB for the payload).
+        budget = float(os.environ.get("FZ_PAYLOAD_BUDGET_GB", 8)) * 1e9
+        if not replay and pipe.capture_payload_bytes(latents, STEPS) > budget:
+            replay = True
+
         try:
             traj, stored = invert()  # warmup compile
             jax.block_until_ready(traj)
+            oom = False
         except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
             if not is_device_oom(e) or replay:
                 raise
+            oom = True
+        if oom:
             # payload + workspace exceeded HBM at this workload: fall back to
-            # replay-rematerialization (the stored_attention: false path)
+            # replay-rematerialization (the stored_attention: false path).
+            # The OOM usually surfaces at block_until_ready — AFTER the
+            # poisoned output arrays were assigned — so they must be dropped
+            # explicitly (and traceback cycles collected) or the retry finds
+            # HBM still pinned and dies on its first tiny allocation.
+            import gc
+
+            traj = stored = None
+            gc.collect()
             replay = True
             traj, stored = invert()
             jax.block_until_ready(traj)
@@ -191,9 +211,15 @@ def main() -> None:
 
         try:
             jax.block_until_ready(edit())  # warmup compile
+            oom = False
         except Exception as e:  # noqa: BLE001 — HBM fallback, never skip the bench
             if not is_device_oom(e) or stored is None:
                 raise
+            oom = True
+        if oom:  # outside the except: see the inversion fallback above
+            import gc
+
+            gc.collect()
             stored = None  # drop the payload; edit replays/rematerializes
             jax.block_until_ready(edit())
         t0 = time.time()

@@ -139,6 +139,23 @@ def test(
     traj = inv_store = traj_host = stored = None
     if editing_config.get("use_invertion_latents", True):
         if use_fused:
+            if use_stored:
+                # proactive HBM gate (pure eval_shape — no device work): a
+                # failed on-device capture costs minutes of runtime OOM-retry
+                # and leaves HBM pinned, so skip capture when the predicted
+                # payload cannot fit. FZ_PAYLOAD_BUDGET_GB overrides.
+                budget = float(os.environ.get("FZ_PAYLOAD_BUDGET_GB", 8)) * 1e9
+                payload = pipe.capture_payload_bytes(latents, num_steps)
+                if payload > budget:
+                    log.warning(
+                        "predicted attention payload %.1f GB exceeds the "
+                        "%.1f GB budget; using replay rematerialization "
+                        "(stored_attention: false). Raise FZ_PAYLOAD_BUDGET_GB "
+                        "to force capture.",
+                        payload / 1e9,
+                        budget / 1e9,
+                    )
+                    use_stored = False
             with timer.phase("inversion"):
                 if use_stored:
                     try:
@@ -158,6 +175,13 @@ def test(
                         )
                         traj = stored = None
                 if traj is None:
+                    # the except block above has exited, dropping the caught
+                    # exception — but its traceback frames can sit in cycles
+                    # that pin the failed attempt's device buffers; collect
+                    # before retrying or the replay path OOMs on leftovers
+                    import gc
+
+                    gc.collect()
                     traj = pipe.invert_fast(latents, emb_src, num_steps)
                 traj.block_until_ready()
         else:

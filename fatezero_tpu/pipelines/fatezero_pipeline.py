@@ -522,6 +522,41 @@ class FateZeroPipeline:
         latents = self._shard_video(latents.astype(jnp.float32), frame_axis=1)
         return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
 
+    def capture_payload_bytes(
+        self, latents: jax.Array, num_inference_steps: int = 50
+    ) -> int:
+        """Predict `invert_fast(capture=True)`'s stored-payload HBM footprint
+        WITHOUT running anything (pure `jax.eval_shape` abstract trace).
+
+        A failed on-device capture is expensive to recover from: the TPU
+        runtime spends minutes retrying before raising RESOURCE_EXHAUSTED,
+        and the poisoned output arrays keep HBM pinned while they are
+        referenced. Callers (bench.py, cli/edit.py) compare this estimate
+        against a payload budget and fall back to replay rematerialization
+        proactively instead of paying that cost.
+        """
+        t0 = jnp.int32(0)
+
+        def one_step(lat, cond, params):
+            sctx = StoreContext(
+                save_self_attention=False,
+                store_dtype=self.store_dtype,
+                self_qk=True,
+            )
+            self.unet.apply(params, lat, t0, cond, attn_ctx=sctx)
+            return {"probs": sctx.captured, "qk": sctx.captured_qk}
+
+        shapes = jax.eval_shape(
+            one_step,
+            jax.ShapeDtypeStruct(latents.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 77, self.unet.cfg.cross_attention_dim), jnp.float32),
+            self.unet_params,
+        )
+        per_step = sum(
+            s.size * s.dtype.itemsize for s in jax.tree.leaves(shapes)
+        )
+        return per_step * num_inference_steps
+
     def edit_fast(
         self,
         traj: jax.Array,

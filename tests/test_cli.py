@@ -145,3 +145,16 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
         assert len(pngs) == 16, (d, pngs)
         m = np.asarray(Image.open(os.path.join(d, sorted(pngs)[0])))
         assert m.ndim == 2 and set(np.unique(m)) <= {0, 255}
+
+
+@pytest.mark.slow
+def test_payload_budget_gate_forces_replay(tmp_path, monkeypatch):
+    """FZ_PAYLOAD_BUDGET_GB below the predicted payload must proactively
+    route the run through replay rematerialization (no capture attempt) and
+    still produce finite artifacts (cli/edit.py payload gate)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("FZ_PAYLOAD_BUDGET_GB", "0")
+    logdir, videos = run(CONFIG)
+    assert all(np.isfinite(v).all() for v in videos)
+    with open(os.path.join(logdir, "log.log")) as fh:
+        assert "replay rematerialization" in fh.read()

@@ -268,3 +268,15 @@ def test_edit_strength_fast_matches_streaming(pipe, latents, embs):
         traj_fast, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
     )
     assert float(jnp.max(jnp.abs(out_full - out_fast))) > 1e-3
+
+
+def test_capture_payload_bytes_predicts_actual(pipe, latents, embs):
+    """The proactive HBM gate's eval_shape estimate must equal the real
+    captured payload size byte-for-byte, and scale linearly in steps
+    (bench.py / cli/edit.py decide capture-vs-replay from it)."""
+    emb_src, _ = embs
+    predicted = pipe.capture_payload_bytes(latents, STEPS)
+    _, stored = pipe.invert_fast(latents, emb_src, STEPS, capture=True)
+    actual = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(stored))
+    assert predicted == actual
+    assert pipe.capture_payload_bytes(latents, 2 * STEPS) == 2 * predicted
