@@ -143,9 +143,12 @@ def parse():
                 if name.startswith("%while"):
                     continue  # umbrella: double-counts children
                 dur = ev.duration_ns / 1e6
-                # HLO text: "%opname.123 = kind(...)" — kind is authoritative
-                kind = name.split(" = ", 1)[1].split("(", 1)[0] if " = " in name else name.split(".", 1)[0].lstrip("%")
-                by_kind[kind] += dur
+                # HLO text: "%opname.123 = <type> kind(...)"; tuple types and
+                # layout tile specs contain parens/spaces — use the shared
+                # robust extractor
+                from parse_profile import opcode_of
+
+                by_kind[opcode_of(name)] += dur
                 by_name[name.split(" = ", 1)[0]] += dur
                 total += dur
     print(f"\n== device time by HLO kind (total {total:.1f} ms, {STEPS} steps, mode={MODE}) ==")
