@@ -4,13 +4,12 @@ Round-4 profile: XLA's channel-last LN stats fusions cost ~21 ms of a
 180 ms edit step (bench_artifacts/r4_profile_stored.txt). Compares, at each
 video shape the transformer sees:
 
-  xla   — _ln_math (current default: mean/meansq reduce over lanes)
-  dot   — _ln_dot_stats (stats as [R,C]x[C,1] MXU dots)
-  pallas— ops/fused_norm.layer_norm (one-pass kernel)
+  xla   — _ln_math (mean/meansq reduce over lanes)
+  pallas— ops/fused_norm.layer_norm (one-pass kernel, the shipped default)
 
 Standalone timings over-credit the kernel (custom-call boundaries block
 fusion in the real graph — round-2 lesson); treat this as op-level evidence
-and confirm with a full FZ_DOT_LN=1 bench.
+and confirm with a full bench run.
 """
 from __future__ import annotations
 
@@ -23,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from fatezero_tpu.ops.fused_norm import _ln_dot_stats, _ln_math, layer_norm
+from fatezero_tpu.ops.fused_norm import _ln_math, layer_norm
 
 SHAPES = [
     (2, 8, 4096, 320),
@@ -55,7 +54,6 @@ def main() -> None:
         row = {}
         for name, fn in (
             ("xla", _ln_math),
-            ("dot", _ln_dot_stats),
             ("pallas", layer_norm),
         ):
             ms = timed(jax.jit(lambda x, s, b, f=fn: f(x, s, b, 1e-5)), x, s, b)

@@ -32,6 +32,9 @@ def opcode_of(name: str) -> str:
                 if depth == 0:
                     rest = rest[i + 1 :].lstrip()
                     break
+            # after the tuple-type strip the opcode is the FIRST token
+            # ('(bf16[8], f32[4]) tuple(%x, %y)' -> 'tuple(%x, %y)')
+            return rest.split("(", 1)[0].strip() or "<unnamed>"
         parts = rest.split(None, 1)
         if len(parts) == 2:
             return parts[1].split("(", 1)[0]
