@@ -32,6 +32,7 @@ forward kernel without the extra output.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LANES = 128
+
+
+def _flash_forced() -> bool:
+    """Test knob: take the Pallas dispatch path off-TPU (jaxpr-structure tests
+    trace it without lowering; numeric tests pair it with FZ_FLASH_INTERPRET)."""
+    return os.environ.get("FZ_FLASH_FORCE", "") == "1"
+
+
+def _interpret() -> bool:
+    """Test knob: run the Pallas kernels in interpret mode (pure-JAX emulation,
+    works on the CPU backend) so the shard_map+kernel composition can be
+    executed and numerically pinned on the 8-device virtual mesh."""
+    return os.environ.get("FZ_FLASH_INTERPRET", "") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -154,6 +168,7 @@ def _fwd_call(q, k, v, scale, block_q, block_kv, with_lse):
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * sq_pad * skv_pad * (d_pad + dv_pad),
@@ -270,6 +285,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, block_q, block_kv):
         in_specs=[qspec, kvspec, kvspec, qspec, qspec, lsespec],
         out_specs=qspec,
         out_shape=jax.ShapeDtypeStruct((B, sq, d), q.dtype),
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         cost_estimate=pl.CostEstimate(
             flops=6 * B * sq_pad * skv_pad * d_pad,
@@ -297,6 +313,7 @@ def _bwd_call(q, k, v, o, lse, do, scale, block_q, block_kv):
             jax.ShapeDtypeStruct((B, skv, d), k.dtype),
             jax.ShapeDtypeStruct((B, skv, d), v.dtype),
         ],
+        interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * sq_pad * skv_pad2 * d_pad,
@@ -378,28 +395,90 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax
     return jnp.einsum("...st,...td->...sd", p, v.astype(jnp.float32)).astype(q.dtype)
 
 
+def _fold_flash(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Fold leading dims to kernel rows and run the flash kernel."""
+    lead = q.shape[:-2]
+    if k.shape[:-2] != lead:
+        k = jnp.broadcast_to(k, lead + k.shape[-2:])
+        v = jnp.broadcast_to(v, lead + v.shape[-2:])
+    q3 = q.reshape(-1, *q.shape[-2:])
+    out = flash_attention(
+        q3, k.reshape(-1, *k.shape[-2:]), v.reshape(-1, *v.shape[-2:]), scale
+    )
+    return out.reshape(*lead, *out.shape[-2:])
+
+
+def _sharded_flash(mesh, q: jax.Array, k: jax.Array, v: jax.Array, scale: float):
+    """Run the flash kernel per shard under the ambient seq mesh (shard_map).
+
+    Attention rows are frame- and head-independent, and every mesh-traced
+    call site provides frame-LOCAL KV (sparse-causal KV arrives through the
+    halo exchange of ops/video_ops.gather_sparse_kv; cross-attention context
+    is a frame-broadcast [.., 1, h, kv, d]), so the kernel shards with ZERO
+    collectives: frames (axis -4) over 'seq', heads (axis -3) over 'tensor'
+    (megatron head sharding), an optional batch axis (-5) over 'data'. A
+    size-1 frame axis on k/v stays replicated. Returns None (caller falls
+    back to the XLA einsum) when a dim does not divide its mesh axis.
+
+    This is the ICI-sharded form of the xformers path the kernel replaces
+    (reference attention_register.py:112-116) — the single-chip kernel and
+    the mesh are composed instead of exclusive.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n_seq = sizes.get("seq", 1)
+    n_tensor = sizes.get("tensor", 1)
+    n_data = sizes.get("data", 1)
+
+    def spec_for(x):
+        if x.ndim < 4:
+            return None
+        spec = [None] * x.ndim
+        if n_seq > 1 and x.shape[-4] != 1:
+            if x.shape[-4] % n_seq:
+                return None
+            spec[-4] = "seq"
+        if n_tensor > 1:
+            if x.shape[-3] % n_tensor:
+                return None
+            spec[-3] = "tensor"
+        if x.ndim >= 5 and n_data > 1 and x.shape[-5] % n_data == 0:
+            spec[-5] = "data"
+        return P(*spec)
+
+    specs = [spec_for(x) for x in (q, k, v)]
+    if any(s is None for s in specs) or k.shape[:-2] != v.shape[:-2]:
+        return None
+
+    def local(q, k, v):
+        return _fold_flash(q, k, v, scale)
+
+    # check_vma=False: pallas_call does not declare varying-mesh-axes metadata
+    # for its outputs; the specs above are the full contract (no collectives
+    # inside the body, outputs vary exactly like q).
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=tuple(specs), out_specs=specs[0], check_vma=False
+    )(q, k, v)
+
+
 def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Backend dispatch: Pallas flash kernel on TPU, XLA einsum elsewhere.
 
     q: [..., S, D]; k/v: [..., KV, D] with leading dims broadcastable against
-    q's. Leading dims fold to kernel rows only on the single-chip Pallas path
-    (a mesh-traced call keeps the unfolded XLA form so the frame axis stays
-    shardable — pallas_call under a mesh would need shard_map anyway).
+    q's. Single-chip, leading dims fold to kernel rows; under an ambient seq
+    mesh (FateZeroPipeline.shard) the kernel runs per shard inside a
+    shard_map over the frame/head axes (`_sharded_flash`) so the flagship
+    Pallas path survives ICI sharding instead of falling back to a
+    score-materializing einsum.
     """
-    if (
-        jax.default_backend() == "tpu"
-        and q.shape[-2] >= 256
-        and _ambient_seq_mesh() is None
-    ):
-        lead = q.shape[:-2]
-        if k.shape[:-2] != lead:
-            k = jnp.broadcast_to(k, lead + k.shape[-2:])
-            v = jnp.broadcast_to(v, lead + v.shape[-2:])
-        q3 = q.reshape(-1, *q.shape[-2:])
-        out = flash_attention(
-            q3, k.reshape(-1, *k.shape[-2:]), v.reshape(-1, *v.shape[-2:]), scale
-        )
-        return out.reshape(*lead, *out.shape[-2:])
+    if (jax.default_backend() == "tpu" or _flash_forced()) and q.shape[-2] >= 256:
+        mesh = _ambient_seq_mesh()
+        if mesh is None:
+            return _fold_flash(q, k, v, scale)
+        out = _sharded_flash(mesh, q, k, v, scale)
+        if out is not None:
+            return out
     return xla_attention(q, k, v, scale)
 
 

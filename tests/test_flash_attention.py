@@ -5,8 +5,6 @@ same kernel logic on CPU so correctness (including KV-tail masking and
 head-dim padding) is pinned without TPU hardware. test_install.py exercises
 the compiled kernel on the real chip.
 """
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,10 +15,7 @@ from fatezero_tpu.ops import flash_attention as FA
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    orig = FA.pl.pallas_call
-    monkeypatch.setattr(
-        FA.pl, "pallas_call", functools.partial(orig, interpret=True)
-    )
+    monkeypatch.setenv("FZ_FLASH_INTERPRET", "1")
 
 
 @pytest.mark.parametrize(

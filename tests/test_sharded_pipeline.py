@@ -50,6 +50,70 @@ def _controller(tok):
     )
 
 
+def _iter_eqns(jaxpr, under_shard_map=False):
+    """Yield (eqn, under_shard_map) for every eqn, recursing into sub-jaxprs."""
+    for eqn in jaxpr.eqns:
+        yield eqn, under_shard_map
+        inner = under_shard_map or eqn.primitive.name == "shard_map"
+        for val in eqn.params.values():
+            for sub in [val] if not isinstance(val, (list, tuple)) else val:
+                sub = getattr(sub, "jaxpr", sub)
+                if hasattr(sub, "eqns"):
+                    yield from _iter_eqns(sub, inner)
+
+
+def test_sharded_flash_kernel_structure(setup, monkeypatch):
+    """VERDICT r4 #1: under a seq mesh the big attention sites must trace the
+    Pallas flash kernel INSIDE shard_map — not fall back to the score-
+    materializing einsum. Structural check on the jaxpr (the kernel cannot
+    LOWER on the CPU backend, but it traces identically)."""
+    monkeypatch.setenv("FZ_FLASH_FORCE", "1")
+    unet, params, latents, emb_src, _ = setup
+    from fatezero_tpu.parallel.sharding import seq_mesh_scope
+
+    mesh = make_mesh(jax.devices()[:8], (1, 4, 2))
+    lat2 = jnp.concatenate([latents, latents], axis=0)
+    with seq_mesh_scope(mesh):
+        jaxpr = jax.make_jaxpr(
+            lambda p, x, t, c: unet.apply(p, x, t, c)
+        )(params, lat2, jnp.int32(1), emb_src).jaxpr
+
+    flash_in_shard_map = 0
+    materialized_big_site = []
+    for eqn, under_sm in _iter_eqns(jaxpr):
+        if eqn.primitive.name == "pallas_call":
+            assert under_sm, "Pallas call traced OUTSIDE shard_map under a seq mesh"
+            flash_in_shard_map += 1
+        if eqn.primitive.name == "dot_general":
+            shape = eqn.outvars[0].aval.shape
+            # the top-level self site is [b, f, h, 256, 512] when materialized
+            # by the xla fallback; the kernel's internal score blocks are 2-D
+            if len(shape) >= 4 and shape[-2:] == (HW * HW, 2 * HW * HW):
+                materialized_big_site.append(shape)
+    assert flash_in_shard_map > 0, "no flash kernel traced under the seq mesh"
+    assert not materialized_big_site, (
+        f"big self-attention site still materializes scores: {materialized_big_site}"
+    )
+
+
+def test_sharded_flash_numerics_interpret(setup, monkeypatch):
+    """The shard_map+flash composition (interpret mode) matches the unsharded
+    XLA forward on the 8-device virtual mesh."""
+    unet, params, latents, emb_src, _ = setup
+    from fatezero_tpu.parallel.sharding import seq_mesh_scope
+
+    ref = unet.apply(params, latents, jnp.int32(1), emb_src[:1])
+
+    monkeypatch.setenv("FZ_FLASH_FORCE", "1")
+    monkeypatch.setenv("FZ_FLASH_INTERPRET", "1")
+    mesh = make_mesh(jax.devices()[:8], (1, 4, 2))
+    with seq_mesh_scope(mesh):
+        out = jax.jit(lambda p, x, t, c: unet.apply(p, x, t, c))(
+            params, latents, jnp.int32(1), emb_src[:1]
+        )
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-4, rtol=1e-4)
+
+
 def test_sharded_matches_single_device(setup):
     unet, params, latents, emb_src, emb_tgt = setup
     tok = StubTokenizer()
