@@ -159,19 +159,30 @@ def main() -> None:
         # the edit scan then runs the bare 2-row CFG forward per step with no
         # replay row. BENCH_REPLAY=1 benchmarks the replay variant instead.
 
+        # proactive HBM gate: a failed on-device capture costs ~10 min of
+        # runtime OOM-retry before raising, so predict the payload size
+        # (pure eval_shape, no device work, per-device under a mesh) and trim
+        # the capture to the rows that fit — full capture when the budget
+        # holds all steps, a window/budget-trimmed hybrid otherwise (stored
+        # prefix + replay middle + identity-gated tail), full replay when not
+        # even one row fits. FZ_PAYLOAD_BUDGET_GB overrides (v5e: 16 GB HBM -
+        # ~2 GB params - workspace/trajectory leaves ~8 GB for the payload).
+        budget = float(os.environ.get("FZ_PAYLOAD_BUDGET_GB", 8)) * 1e9
+        rows = None
+        if not replay:
+            rows = pipe.plan_capture(
+                latents, STEPS, window=controller().edit_window(STEPS),
+                budget_bytes=budget,
+            )
+            if rows is None:
+                replay = True
+
         def invert():
             if replay:
                 return pipe.invert_fast(latents, emb_src, STEPS), None
-            return pipe.invert_fast(latents, emb_src, STEPS, capture=True)
-
-        # proactive HBM gate: a failed on-device capture costs ~10 min of
-        # runtime OOM-retry before raising, so predict the payload size
-        # (pure eval_shape, no device work) and skip capture when it cannot
-        # fit. FZ_PAYLOAD_BUDGET_GB overrides (v5e: 16 GB HBM - ~2 GB params
-        # - workspace/trajectory leaves ~8 GB for the payload).
-        budget = float(os.environ.get("FZ_PAYLOAD_BUDGET_GB", 8)) * 1e9
-        if not replay and pipe.capture_payload_bytes(latents, STEPS) > budget:
-            replay = True
+            return pipe.invert_fast(
+                latents, emb_src, STEPS, capture=True, capture_rows=rows
+            )
 
         try:
             traj, stored = invert()  # warmup compile
@@ -205,7 +216,8 @@ def main() -> None:
 
         def edit():
             out, _ = pipe.edit_fast(
-                traj, emb_src, emb_tgt, controller(), STEPS, stored=stored
+                traj, emb_src, emb_tgt, controller(), STEPS, stored=stored,
+                stored_row0=rows[0] if (rows and stored is not None) else 0,
             )
             return out
 
@@ -235,6 +247,7 @@ def main() -> None:
                 out, aux = pipe.edit_fast(
                     traj, emb_src, emb_tgt, controller(), STEPS,
                     stored=stored, viz=True,
+                    stored_row0=rows[0] if (rows and stored is not None) else 0,
                 )
                 return out, aux["cross_avg"]
 
@@ -289,6 +302,9 @@ def main() -> None:
             "backend": jax.default_backend(),
             "mode": MODE,
             "stored_payload": MODE == "fused" and not replay and stored is not None,
+            "stored_rows": list(rows)
+            if (MODE == "fused" and not replay and stored is not None and rows)
+            else None,
             "model_config": "default (full-SC stress)"
             if FULL_SC
             else "teaser-exact (lora160, ['mid'], least_sc_channel=640, eq x10)",

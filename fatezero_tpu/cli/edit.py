@@ -129,6 +129,26 @@ def test(
     with timer.phase("vae_encode"):
         latents = pipe.encode_video(video)
 
+    sample_seeds = [int(s) for s in editing_config.get("sample_seeds", [seed])]
+
+    def make_logger(subdir: str = "") -> P2pSampleLogger:
+        return P2pSampleLogger(
+            editing_prompts=editing_config.get("editing_prompts", [source_prompt]),
+            clip_length=int(editing_config.get("clip_length", video.shape[0])),
+            logdir=os.path.join(logdir, subdir) if subdir else logdir,
+            source_prompt=source_prompt,
+            num_inference_steps=num_steps,
+            guidance_scale=float(editing_config.get("guidance_scale", 7.5)),
+            sample_seeds=sample_seeds,
+            p2p_config=editing_config.get("p2p_config", {}),
+            use_inversion_attention=bool(
+                editing_config.get("use_inversion_attention", True)
+            ),
+            strength=editing_config.get("strength"),
+            annotate=bool(editing_config.get("annotate", False)),
+            use_fused_path=use_fused,
+        )
+
     use_fused = not disk_store and not editing_config.get("save_attention_maps", False)
     # capture the controlled sites' payloads during inversion itself (cross
     # probs + self (q,k), HBM-resident): the edit scans then run the bare
@@ -137,30 +157,54 @@ def test(
     # workloads whose payload exceeds HBM (many frames / high res).
     use_stored = bool(editing_config.get("stored_attention", True))
     traj = inv_store = traj_host = stored = None
+    capture_rows = None
     if editing_config.get("use_invertion_latents", True):
         if use_fused:
             if use_stored:
-                # proactive HBM gate (pure eval_shape — no device work): a
-                # failed on-device capture costs minutes of runtime OOM-retry
-                # and leaves HBM pinned, so skip capture when the predicted
-                # payload cannot fit. FZ_PAYLOAD_BUDGET_GB overrides.
+                # proactive HBM gate (pure eval_shape — no device work,
+                # per-device under a mesh): a failed on-device capture costs
+                # minutes of runtime OOM-retry and leaves HBM pinned, so trim
+                # the capture to the rows that fit — full capture when the
+                # budget holds every step, a hybrid (stored prefix + replay
+                # middle + identity-gated tail) otherwise, full replay when
+                # not even one row fits. FZ_PAYLOAD_BUDGET_GB overrides.
                 budget = float(os.environ.get("FZ_PAYLOAD_BUDGET_GB", 8)) * 1e9
-                payload = pipe.capture_payload_bytes(latents, num_steps)
-                if payload > budget:
+                probe = make_logger()
+                capture_rows = pipe.plan_capture(
+                    latents,
+                    num_steps,
+                    window=probe.max_edit_window(pipe),
+                    budget_bytes=budget,
+                    strength=probe.strength,
+                    use_inversion_attention=probe.use_inversion_attention,
+                )
+                if capture_rows is None:
                     log.warning(
                         "predicted attention payload %.1f GB exceeds the "
-                        "%.1f GB budget; using replay rematerialization "
-                        "(stored_attention: false). Raise FZ_PAYLOAD_BUDGET_GB "
-                        "to force capture.",
-                        payload / 1e9,
+                        "%.1f GB budget at every trim; using replay "
+                        "rematerialization (stored_attention: false). Raise "
+                        "FZ_PAYLOAD_BUDGET_GB to force capture.",
+                        pipe.capture_payload_bytes(
+                            latents, num_steps, per_device=True
+                        )
+                        / 1e9,
                         budget / 1e9,
                     )
                     use_stored = False
+                elif capture_rows[1] < num_steps:
+                    log.info(
+                        "trimmed attention capture to inversion rows "
+                        "[%d, %d) to fit the %.1f GB payload budget",
+                        capture_rows[0],
+                        capture_rows[0] + capture_rows[1],
+                        budget / 1e9,
+                    )
             with timer.phase("inversion"):
                 if use_stored:
                     try:
                         traj, stored = pipe.invert_fast(
-                            latents, emb_src, num_steps, capture=True
+                            latents, emb_src, num_steps, capture=True,
+                            capture_rows=capture_rows,
                         )
                         traj.block_until_ready()
                     except Exception as e:  # noqa: BLE001 — HBM fallback
@@ -199,25 +243,6 @@ def test(
                 res=int(latents.shape[2]) // 4,
                 save_path=os.path.join(logdir, "cross_attention", "attn.gif"),
             )
-    sample_seeds = [int(s) for s in editing_config.get("sample_seeds", [seed])]
-
-    def make_logger(subdir: str = "") -> P2pSampleLogger:
-        return P2pSampleLogger(
-            editing_prompts=editing_config.get("editing_prompts", [source_prompt]),
-            clip_length=int(editing_config.get("clip_length", video.shape[0])),
-            logdir=os.path.join(logdir, subdir) if subdir else logdir,
-            source_prompt=source_prompt,
-            num_inference_steps=num_steps,
-            guidance_scale=float(editing_config.get("guidance_scale", 7.5)),
-            sample_seeds=sample_seeds,
-            p2p_config=editing_config.get("p2p_config", {}),
-            use_inversion_attention=bool(
-                editing_config.get("use_inversion_attention", True)
-            ),
-            strength=editing_config.get("strength"),
-            annotate=bool(editing_config.get("annotate", False)),
-            use_fused_path=use_fused,
-        )
 
     with timer.phase("editing"), trace(os.path.join(logdir, "trace") if profile else None):
         if traj is None and inv_store is None:
@@ -245,6 +270,9 @@ def test(
                 inverted_latents=traj_host,
                 emb_source=emb_src,
                 stored=stored,
+                stored_row0=capture_rows[0]
+                if (capture_rows and stored is not None)
+                else 0,
             )
     timer.save(os.path.join(logdir, "phase_timings.json"))
     log.info("%s", timer)

@@ -465,6 +465,7 @@ class FateZeroPipeline:
         cond_embeddings: jax.Array,
         num_inference_steps: int = 50,
         capture: bool = False,
+        capture_rows=None,
     ):
         """Clean -> noisy DDIM inversion as one fused `lax.scan`, returning the
         device-resident latent trajectory [steps+1, 1, f, h, w, 4].
@@ -488,33 +489,64 @@ class FateZeroPipeline:
         writes (bf16, SD-1.4 8f 64^2 grid), ~6.5 GB total at 50 steps —
         device-resident, never touching the host (the reference's 100 GB host
         store, shrunk (q,k)-wise by kv/2d and kept on-chip).
+
+        capture_rows=(row0, count) trims the capture to inversion-scan rows
+        [row0, row0+count) — the rows a budget-bound edit actually consumes
+        (`plan_capture`). The scan splits into plain/capture/plain segments;
+        `stored` leaves then have leading dim `count`, and `edit_fast` must
+        be told `stored_row0=row0`.
         """
-        key = ("invert_scan", num_inference_steps, bool(capture))
+        steps = num_inference_steps
+        if capture_rows is not None and capture:
+            row0, count = int(capture_rows[0]), int(capture_rows[1])
+            if (row0, count) == (0, steps):
+                capture_rows = None  # full capture: reuse the untrimmed graph
+        key = ("invert_scan", steps, bool(capture), capture_rows)
         if key not in self._jit_cache:
             ts_up = jnp.asarray(
-                S.ddim_timesteps(self.schedule, num_inference_steps)[::-1], jnp.int32
+                S.ddim_timesteps(self.schedule, steps)[::-1], jnp.int32
             )
 
             @jax.jit
             def run(latent, cond, params):
-                def body(lat, t):
-                    if capture:
-                        sctx = StoreContext(
-                            save_self_attention=False,
-                            store_dtype=self.store_dtype,
-                            self_qk=True,
-                        )
-                        eps = self.unet.apply(params, lat, t, cond, attn_ctx=sctx)
-                        extra = {"probs": sctx.captured, "qk": sctx.captured_qk}
-                    else:
-                        eps = self.unet.apply(params, lat, t, cond)
-                        extra = {}
-                    new = S.ddim_invert_step(
-                        self.schedule, eps, t, lat, num_inference_steps
-                    )
-                    return new, (new, extra)
+                def make_body(cap):
+                    def body(lat, t):
+                        if cap:
+                            sctx = StoreContext(
+                                save_self_attention=False,
+                                store_dtype=self.store_dtype,
+                                self_qk=True,
+                            )
+                            eps = self.unet.apply(params, lat, t, cond, attn_ctx=sctx)
+                            extra = {"probs": sctx.captured, "qk": sctx.captured_qk}
+                        else:
+                            eps = self.unet.apply(params, lat, t, cond)
+                            extra = {}
+                        new = S.ddim_invert_step(self.schedule, eps, t, lat, steps)
+                        return new, (new, extra)
 
-                _, (stacked, stored) = jax.lax.scan(body, latent, ts_up)
+                    return body
+
+                if capture and capture_rows is not None:
+                    # plain / capture / plain segments over the same carry
+                    segs = [
+                        (0, row0, False),
+                        (row0, row0 + count, True),
+                        (row0 + count, steps, False),
+                    ]
+                    lat, trajs, stored = latent, [latent[None]], None
+                    for lo, hi, cap in segs:
+                        if hi <= lo:
+                            continue
+                        lat, (stacked, extra) = jax.lax.scan(
+                            make_body(cap), lat, ts_up[lo:hi]
+                        )
+                        trajs.append(stacked)
+                        if cap:
+                            stored = extra
+                    return jnp.concatenate(trajs, axis=0), stored
+
+                _, (stacked, stored) = jax.lax.scan(make_body(capture), latent, ts_up)
                 traj = jnp.concatenate([latent[None], stacked], axis=0)
                 return (traj, stored) if capture else traj
 
@@ -523,7 +555,8 @@ class FateZeroPipeline:
         return self._jit_cache[key](latents, cond_embeddings[-1:], self.unet_params)
 
     def capture_payload_bytes(
-        self, latents: jax.Array, num_inference_steps: int = 50
+        self, latents: jax.Array, num_inference_steps: int = 50,
+        per_device: bool = False,
     ) -> int:
         """Predict `invert_fast(capture=True)`'s stored-payload HBM footprint
         WITHOUT running anything (pure `jax.eval_shape` abstract trace).
@@ -534,6 +567,13 @@ class FateZeroPipeline:
         referenced. Callers (bench.py, cli/edit.py) compare this estimate
         against a payload budget and fall back to replay rematerialization
         proactively instead of paying that cost.
+
+        When the pipeline is sharded, the trace runs under the ambient
+        seq-mesh scope so the stored shapes match the halo-exchange form the
+        real capture takes. `per_device=True` returns the per-chip footprint:
+        every payload leaf carries the frame axis (cross probs [1, f, h, s, 77],
+        self (q, k) [f*h, s, d]), so the scan-stacked capture inherits the
+        frame-axis 'seq' sharding and each device holds global/seq bytes.
         """
         t0 = jnp.int32(0)
 
@@ -546,16 +586,64 @@ class FateZeroPipeline:
             self.unet.apply(params, lat, t0, cond, attn_ctx=sctx)
             return {"probs": sctx.captured, "qk": sctx.captured_qk}
 
-        shapes = jax.eval_shape(
-            one_step,
-            jax.ShapeDtypeStruct(latents.shape, jnp.float32),
-            jax.ShapeDtypeStruct((1, 77, self.unet.cfg.cross_attention_dim), jnp.float32),
-            self.unet_params,
-        )
+        def trace():
+            return jax.eval_shape(
+                one_step,
+                jax.ShapeDtypeStruct(latents.shape, jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (1, 77, self.unet.cfg.cross_attention_dim), jnp.float32
+                ),
+                self.unet_params,
+            )
+
+        if self.mesh is None:
+            shapes = trace()
+        else:
+            from fatezero_tpu.parallel.sharding import seq_mesh_scope
+
+            with seq_mesh_scope(self.mesh):
+                shapes = trace()
         per_step = sum(
             s.size * s.dtype.itemsize for s in jax.tree.leaves(shapes)
         )
-        return per_step * num_inference_steps
+        total = per_step * num_inference_steps
+        if per_device and self.mesh is not None:
+            sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            total //= max(1, sizes.get("seq", 1))
+        return total
+
+    def plan_capture(
+        self,
+        latents: jax.Array,
+        num_inference_steps: int,
+        window: int,
+        budget_bytes: float,
+        strength: float = 1.0,
+        use_inversion_attention: bool = True,
+    ):
+        """Pick the inversion rows worth capturing: (row0, count) or None.
+
+        `window` is the number of leading edit steps that actually consume
+        injected attention (EditController.edit_window) — rows beyond it are
+        dead weight at capture time. `budget_bytes` is the PER-DEVICE payload
+        budget; the count is clamped so the sharded per-chip footprint fits.
+        Returns (0, steps) when everything fits (the untrimmed fast path),
+        (row0, k) for a partial capture serving edit steps [0, k) (the rest
+        of the edit runs replay rematerialization / identity-gated stored
+        steps), or None when not even one step fits.
+        """
+        steps = num_inference_steps
+        strength = 1.0 if strength is None else float(strength)
+        n_used = min(steps, int(steps * strength)) if strength < 1.0 else steps
+        per_step = self.capture_payload_bytes(latents, 1, per_device=True)
+        budget_steps = int(budget_bytes // max(1, per_step))
+        if budget_steps >= steps:
+            return (0, steps)
+        k = max(0, min(n_used, int(window), budget_steps))
+        if k == 0:
+            return None
+        row0 = (n_used - k) if use_inversion_attention else 0
+        return (row0, k)
 
     def edit_fast(
         self,
@@ -568,6 +656,7 @@ class FateZeroPipeline:
         strength: float = 1.0,
         viz: bool = False,
         stored=None,
+        stored_row0: int = 0,
     ) -> jax.Array:
         """Prompt-to-prompt edit as ONE fused `lax.scan` over all steps.
 
@@ -587,6 +676,15 @@ class FateZeroPipeline:
         layers/heads/steps, for the reference's per-edit heatmap artifact
         (p2p_ddim_spatial_temporal.py:211-215). Cost: the 5 mid-res cross
         sites run materialized instead of value-space (they are tiny).
+
+        A partial payload from `invert_fast(capture_rows=(row0, k))` (pass
+        `stored_row0=row0`) splits the scan into segments: edit steps served
+        by the payload run the bare 2-row stored body, in-window steps beyond
+        it fall back to replay rematerialization, and identity-gated tail
+        steps (past the controller's edit window) run the stored body against
+        a clamped payload row whose values are multiplied away by the zero
+        alpha/self gates — capture scales to frame counts whose full payload
+        exceeds per-device HBM.
         """
         steps = num_inference_steps
         use_stored = stored is not None
@@ -645,12 +743,44 @@ class FateZeroPipeline:
                 ],
                 jnp.float32,
             )
+        # scan segments [lo, hi, stored?]: with a full payload, one stored
+        # segment (or one replay segment when stored is None). With a partial
+        # payload (capture_rows), the served prefix runs stored, in-window
+        # unserved steps run replay, and identity tail steps (past the
+        # controller's edit window — zero alpha/self gates) run stored against
+        # a clamped row.
+        if use_stored:
+            k_rows = int(jax.tree.leaves(stored)[0].shape[0])
+            served = (replay_idx >= stored_row0) & (replay_idx < stored_row0 + k_rows)
+            n_stored = int(served.argmin()) if not served.all() else n_used
+            assert served[:n_stored].all() and not served[n_stored:].any(), (
+                "stored payload rows must serve a contiguous prefix of edit "
+                f"steps (rows [{stored_row0}, {stored_row0 + k_rows}) vs "
+                f"replay indices {replay_idx.tolist()})"
+            )
+            if n_stored == n_used:
+                segments = ((0, n_used, True),)
+            else:
+                w_id = max(controller.edit_window(n_used), n_stored)
+                segments = (
+                    (0, n_stored, True),
+                    (n_stored, w_id, False),
+                    (w_id, n_used, True),
+                )
+                segments = tuple(s for s in segments if s[1] > s[0])
+        else:
+            segments = ((0, n_used, False),)
+
         if use_stored:
             # edit step j consumes inversion step replay_idx[j]'s payload —
             # indexed per step INSIDE the scan (dynamic_index_in_dim on the
             # loop-invariant stacked arrays): a host-side gather would
-            # materialize a second full copy of the ~GB payload in HBM
-            xs["replay_pos"] = jnp.asarray(replay_idx, jnp.int32)
+            # materialize a second full copy of the ~GB payload in HBM.
+            # Steps past the stored prefix clamp to row 0 (their stored
+            # segment is identity-gated; the value never contributes).
+            xs["replay_pos"] = jnp.asarray(
+                np.clip(replay_idx - stored_row0, 0, k_rows - 1), jnp.int32
+            )
 
         ed = {
             "mapper": controller.mapper,
@@ -678,19 +808,29 @@ class FateZeroPipeline:
             controller.use_inversion_attention,
             inline,
             use_stored,
+            segments,
+            int(stored_row0),
             float(attn_th),
             float(latent_th),
             bool(viz),
             traj.shape,
+            # per-step schedules are baked into the trace as constants —
+            # distinct alpha/gate schedules must not share a compiled graph
+            hash(
+                np.asarray(xs["alpha_words"]).tobytes()
+                + np.asarray(xs["self_gate"]).tobytes()
+                + (
+                    np.asarray(xs["blend_gate"]).tobytes()
+                    if use_latent_blend
+                    else b""
+                )
+            ),
         )
         if key not in self._jit_cache:
             latent_hw = int(traj.shape[-3])
 
             @jax.jit
             def run(traj, cond_src, text_emb, guidance, ed, stored_x, params):
-                replay_lats = (
-                    jnp.zeros((n_used,)) if use_stored else traj[jnp.asarray(replay_idx)]
-                )
                 blend_lats = traj[jnp.asarray(blend_idx)] if use_latent_blend else None
 
                 def capture(lat, t):
@@ -806,85 +946,99 @@ class FateZeroPipeline:
                         vsum = vsum + _viz16(ictx.captured)
                     return (new_latent, sums, vsum), outs
 
-                def body(carry, x):
-                    latent, sums, vsum = carry
-                    rep_lat, blend_lat, x = x
-                    if use_stored:
-                        st = jax.tree.map(
-                            lambda a: jax.lax.dynamic_index_in_dim(
-                                a, x["replay_pos"], 0, keepdims=False
-                            ),
-                            stored_x,
+                def make_body(seg_stored):
+                    def body(carry, x):
+                        latent, sums, vsum = carry
+                        rep_lat, blend_lat, x = x
+                        if seg_stored:
+                            st = jax.tree.map(
+                                lambda a: jax.lax.dynamic_index_in_dim(
+                                    a, x["replay_pos"], 0, keepdims=False
+                                ),
+                                stored_x,
+                            )
+                            injected, injected_qk = st["probs"], st["qk"]
+                        else:
+                            injected, injected_qk = capture(rep_lat, x["replay_t"])
+                        self_masks = mask_viz = None
+                        if use_attn_blend:
+                            self_sizes = {
+                                int(q.shape[-2])
+                                for lst in injected_qk.values()
+                                for (q, _k) in lst
+                            }
+                            self_masks, mask_viz = _build_self_masks(
+                                injected, ed["attn_alpha"], attn_th, latent_hw,
+                                self_sizes=self_sizes,
+                            )
+                        ep = EditParams(
+                            cross_edit_kind=controller.cross_edit_kind,
+                            mapper=ed["mapper"],
+                            refine_mapper=ed["refine_mapper"],
+                            refine_alphas=ed["refine_alphas"],
+                            equalizer=ed["equalizer"],
+                            self_replace_active=False,
+                            self_gate=x["self_gate"] if any_self else None,
+                            self_masks=self_masks,
+                            save_self_attention=False,  # live self maps unused here
                         )
-                        injected, injected_qk = st["probs"], st["qk"]
-                    else:
-                        injected, injected_qk = capture(rep_lat, x["replay_t"])
-                    self_masks = mask_viz = None
-                    if use_attn_blend:
-                        self_sizes = {
-                            int(q.shape[-2])
-                            for lst in injected_qk.values()
-                            for (q, _k) in lst
-                        }
-                        self_masks, mask_viz = _build_self_masks(
-                            injected, ed["attn_alpha"], attn_th, latent_hw,
-                            self_sizes=self_sizes,
+                        ectx = EditContext(
+                            injected=injected,
+                            params=ep,
+                            alpha_words=x["alpha_words"],
+                            store_dtype=self.store_dtype,
+                            injected_qk=injected_qk,
+                            # cross sites run probability-free against the
+                            # injected base; only the mid-res sites whose live
+                            # maps feed the latent blend / viz stay materialized
+                            value_space_cross=True,
+                            materialize_cross_size=s16
+                            if (use_latent_blend or viz)
+                            else None,
                         )
-                    ep = EditParams(
-                        cross_edit_kind=controller.cross_edit_kind,
-                        mapper=ed["mapper"],
-                        refine_mapper=ed["refine_mapper"],
-                        refine_alphas=ed["refine_alphas"],
-                        equalizer=ed["equalizer"],
-                        self_replace_active=False,
-                        self_gate=x["self_gate"] if any_self else None,
-                        self_masks=self_masks,
-                        save_self_attention=False,  # live self maps unused here
-                    )
-                    ectx = EditContext(
-                        injected=injected,
-                        params=ep,
-                        alpha_words=x["alpha_words"],
-                        store_dtype=self.store_dtype,
-                        injected_qk=injected_qk,
-                        # cross sites run probability-free against the
-                        # injected base; only the mid-res sites whose live
-                        # maps feed the latent blend / viz stay materialized
-                        value_space_cross=True,
-                        materialize_cross_size=s16
-                        if (use_latent_blend or viz)
-                        else None,
-                    )
-                    lat_in = jnp.concatenate([latent, latent], axis=0)
-                    eps = self.unet.apply(
-                        params, lat_in, x["t"], text_emb, attn_ctx=ectx
-                    )
-                    eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
-                    new_latent = S.ddim_denoise_step(
-                        self.schedule, eps, x["t"], latent, steps
-                    )
+                        lat_in = jnp.concatenate([latent, latent], axis=0)
+                        eps = self.unet.apply(
+                            params, lat_in, x["t"], text_emb, attn_ctx=ectx
+                        )
+                        eps = S.classifier_free_guidance(eps[:1], eps[1:], guidance)
+                        new_latent = S.ddim_denoise_step(
+                            self.schedule, eps, x["t"], latent, steps
+                        )
 
-                    outs = {}
-                    if use_attn_blend:
-                        outs["attn_mask"] = mask_viz
-                    if use_latent_blend:
-                        new_latent, sums, lmask = _latent_blend_step(
-                            new_latent, sums, ectx.captured, injected,
-                            blend_lat, x["blend_gate"],
-                        )
-                        outs["latent_mask"] = lmask
-                    if viz:
-                        vsum = vsum + _viz16(ectx.captured)
-                    return (new_latent, sums, vsum), outs
+                        outs = {}
+                        if use_attn_blend:
+                            outs["attn_mask"] = mask_viz
+                        if use_latent_blend:
+                            new_latent, sums, lmask = _latent_blend_step(
+                                new_latent, sums, ectx.captured, injected,
+                                blend_lat, x["blend_gate"],
+                            )
+                            outs["latent_mask"] = lmask
+                        if viz:
+                            vsum = vsum + _viz16(ectx.captured)
+                        return (new_latent, sums, vsum), outs
 
-                if use_latent_blend:
-                    scan_xs = (replay_lats, blend_lats, xs)
-                else:
-                    scan_xs = (replay_lats, jnp.zeros((n_used,)), xs)
-                scan_body = body_inline if inline else body
+                    return body
+
                 start = traj[steps - t_start]  # noise level of the first used timestep
-                (final, _, vfinal), outs = jax.lax.scan(
-                    scan_body, (start, sums0, vsum0), scan_xs
+                carry = (start, sums0, vsum0)
+                seg_outs = []
+                for lo, hi, seg_stored in segments:
+                    seg_xs = {k2: v[lo:hi] for k2, v in xs.items()}
+                    rep = (
+                        jnp.zeros((hi - lo,))
+                        if seg_stored
+                        else traj[jnp.asarray(replay_idx[lo:hi])]
+                    )
+                    bl = blend_lats[lo:hi] if use_latent_blend else jnp.zeros((hi - lo,))
+                    scan_body = body_inline if inline else make_body(seg_stored)
+                    carry, outs = jax.lax.scan(scan_body, carry, (rep, bl, seg_xs))
+                    seg_outs.append(outs)
+                final, _, vfinal = carry
+                outs = (
+                    seg_outs[0]
+                    if len(seg_outs) == 1
+                    else jax.tree.map(lambda *a: jnp.concatenate(a, 0), *seg_outs)
                 )
                 if viz:
                     outs["cross_avg"] = vfinal / n_used

@@ -90,6 +90,22 @@ class P2pSampleLogger:
             save_path=os.path.join(self.logdir, f"prompt_{idx}"),
         )
 
+    def max_edit_window(self, pipeline) -> int:
+        """Max EditController.edit_window over this run's editing prompts —
+        the number of leading edit steps that consume inversion attention.
+        Drives the capture planner (FateZeroPipeline.plan_capture): payload
+        rows past the widest window are dead weight for every prompt."""
+        steps = self.num_inference_steps
+        n_used = min(steps, int(steps * self.strength)) if self.strength < 1.0 else steps
+        w = 0
+        for idx, prompt in enumerate(self.editing_prompts):
+            if prompt == self.source_prompt and not self.use_inversion_attention:
+                continue
+            ctl = self._controller_for(pipeline, idx, prompt)
+            if ctl is not None:
+                w = max(w, ctl.edit_window(n_used))
+        return w
+
     def log_sample_images(
         self,
         pipeline,
@@ -99,8 +115,22 @@ class P2pSampleLogger:
         inverted_latents: Optional[List[np.ndarray]] = None,
         emb_source=None,
         stored=None,
+        stored_row0: int = 0,
+        step: int = 0,
     ) -> List[np.ndarray]:
         """Run every editing prompt; returns the list of decoded videos.
+
+        Artifact naming follows the reference
+        (p2p_validation_loop.py:148-166): per prompt
+        `step_{step}_{idx}_{seed}.gif` (+ mp4 + frame folder), its
+        cross-attention heatmap sibling `step_{step}_{idx}_{seed}atten.gif`,
+        the all-prompt grid `step_{step}.gif` (also saved as `grid.gif`), and
+        the vertically-stacked attention grid `step_{step}atten.gif`. The
+        reference's per-prompt seed LOOP is collapsed to sample_seeds[0]:
+        FateZero editing is deterministic given the inversion trajectory (the
+        torch generator only feeds DDIM eta-noise, which every FateZero
+        config runs at eta=0), so each extra seed would rewrite an identical
+        video — documented deviation, not a gap.
 
         Fused mode consumes `traj` (device trajectory from invert_fast) and
         optionally `stored` (inversion-time attention payloads from
@@ -114,6 +144,7 @@ class P2pSampleLogger:
             if self.annotate
             else source_video
         ]
+        attn_videos: List[np.ndarray] = []
         if emb_source is None:
             emb_source = pipeline.encode_prompt(self.source_prompt)
         steps = self.num_inference_steps
@@ -171,6 +202,7 @@ class P2pSampleLogger:
                         strength=self.strength,
                         viz=self.save_cross_attention,
                         stored=stored,
+                        stored_row0=stored_row0,
                     )
                 else:
                     latent = pipeline.sample(
@@ -205,28 +237,42 @@ class P2pSampleLogger:
                         blender.counter += 1
                         blender.record(step_mask, f"step{blender.counter - 1:03d}")
             video = pipeline.decode_latents(latent)
-            tag = f"{idx}_{prompt[:80].replace(' ', '_')}"
+            tag = f"step_{step}_{idx}_{self.sample_seeds[0]}"
             save_gif_mp4_folder_type(video, os.path.join(self.logdir, f"{tag}.gif"))
             if edit_aux is not None and "cross_avg" in edit_aux:
                 # per-edit cross-attention heatmap gif, aggregated over
                 # layers/heads/steps like the reference's
-                # show_cross_attention(edit_controller, 16, ["up","down"])
+                # show_cross_attention(edit_controller, 16, ["up","down"]),
+                # saved as the reference's `...atten.gif` sibling
                 from fatezero_tpu.ptp.visualization import show_cross_attention
 
                 avg = np.asarray(edit_aux["cross_avg"], np.float32)  # [1,f,s,77]
                 res = int(np.sqrt(avg.shape[2]))
-                show_cross_attention(
+                attn_video = show_cross_attention(
                     pipeline.tokenizer,
                     prompt,
                     {"up_cross": [avg[:, :, None]]},  # [1, f, 1, s, 77]
                     res=res,
-                    save_path=os.path.join(
-                        self.logdir, "cross_attention", f"{tag}.gif"
-                    ),
+                    save_path=os.path.join(self.logdir, f"{tag}atten.gif"),
                 )
+                attn_videos.append(attn_video)
             if self.annotate:
                 video = annotate_video(video, prompt)
             videos.append(video)
         grid = concat_videos(videos, axis=2)
+        save_gif_mp4_folder_type(grid, os.path.join(self.logdir, f"step_{step}.gif"))
         save_gif_mp4_folder_type(grid, os.path.join(self.logdir, "grid.gif"))
+        if attn_videos:
+            # the reference's concatenated attention grid (cols=1 vertical
+            # stack, p2p_validation_loop.py:159-166); heatmap widths differ
+            # per prompt (token count), so pad to the widest
+            wmax = max(v.shape[2] for v in attn_videos)
+            padded = [
+                np.pad(v, ((0, 0), (0, 0), (0, wmax - v.shape[2]), (0, 0)))
+                for v in attn_videos
+            ]
+            save_gif_mp4_folder_type(
+                concat_videos(padded, axis=1),
+                os.path.join(self.logdir, f"step_{step}atten.gif"),
+            )
         return videos[1:]

@@ -66,6 +66,25 @@ class EditController:
         """[1, 1, 1, 77] replace gate for this step (prompt index 0)."""
         return jnp.asarray(self.alpha_time_words[step, 0])
 
+    def edit_window(self, n_used: int) -> int:
+        """Number of leading edit steps that consume inversion-pass attention.
+
+        Steps at or beyond this index are identity edits — every cross-replace
+        alpha is 0 and the self-replace window is over (the reference's
+        cur_step semantics, attention_util.py get_time_words_attention_alpha) —
+        so a trimmed capture can skip their payload rows entirely. Spatial
+        blending consumes the inversion maps on EVERY step (the blend-mask
+        pair stacks the inversion-step map), so blends pin the window at
+        n_used."""
+        if self.latent_blend is not None or self.attention_blend is not None:
+            return n_used
+        w = min(self.self_replace_window[1], n_used)
+        alphas = np.asarray(self.alpha_time_words[:n_used, 0]).reshape(n_used, -1)
+        nz = np.nonzero(alphas.any(axis=1))[0]
+        if nz.size:
+            w = max(w, int(nz[-1]) + 1)
+        return int(max(0, min(w, n_used)))
+
 
 def make_controller(
     tokenizer,

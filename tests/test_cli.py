@@ -128,8 +128,18 @@ def test_cli_end_to_end(tmp_path, monkeypatch):
     assert "input.gif" in files
     assert "grid.gif" in files
     assert "config.yml" in files
-    prompt_gifs = [f for f in files if f.endswith(".gif") and f[0].isdigit()]
-    assert len(prompt_gifs) == 2
+    # reference artifact naming (p2p_validation_loop.py:148-166): per-prompt
+    # step_{step}_{idx}_{seed}.gif + atten sibling, grid step_{step}.gif +
+    # vertically-stacked attention grid step_{step}atten.gif
+    prompt_gifs = sorted(
+        f for f in files
+        if f.endswith(".gif") and f.startswith("step_0_") and "atten" not in f
+    )
+    assert prompt_gifs == ["step_0_0_0.gif", "step_0_1_0.gif"]
+    atten_gifs = [f for f in files if f.endswith("atten.gif")]
+    assert "step_0_0_0atten.gif" in atten_gifs
+    assert "step_0atten.gif" in atten_gifs
+    assert "step_0.gif" in files
     # frame folders hold one png per frame at source resolution
     frame_dir = os.path.join(logdir, prompt_gifs[0][:-4])
     frames = sorted(os.listdir(frame_dir))

@@ -270,6 +270,61 @@ def test_edit_strength_fast_matches_streaming(pipe, latents, embs):
     assert float(jnp.max(jnp.abs(out_full - out_fast))) > 1e-3
 
 
+@pytest.mark.parametrize("use_inversion_attention", [True, False])
+def test_edit_fast_hybrid_partial_capture(pipe, latents, embs, use_inversion_attention):
+    """A budget-trimmed payload (invert_fast capture_rows + edit_fast
+    stored_row0) must reproduce the full-replay edit exactly: the served
+    prefix runs the stored body, in-window unserved steps replay, and the
+    identity-gated tail (past the controller's edit window) runs the stored
+    body against a clamped row whose values the zero gates multiply away."""
+    emb_src, emb_tgt = embs
+    controller = lambda: make_controller(
+        pipe.tokenizer,
+        ["a silver jeep driving", "a posche car driving"],
+        num_steps=STEPS,
+        is_replace_controller=True,
+        cross_replace_steps=0.5,
+        self_replace_steps=0.5,
+        eq_params={"words": ["posche"], "values": [2.0]},
+        use_inversion_attention=use_inversion_attention,
+    )
+    w = controller().edit_window(STEPS)
+    assert 0 < w < STEPS  # identity tail exists at this schedule
+    traj_full = pipe.invert_fast(latents, emb_src, STEPS)
+    out_replay, _ = pipe.edit_fast(
+        traj_full, emb_src, emb_tgt, controller(), num_inference_steps=STEPS
+    )
+    k = 1  # < w: exercises all three segment kinds in one edit
+    row0 = (STEPS - k) if use_inversion_attention else 0
+    traj, stored = pipe.invert_fast(
+        latents, emb_src, STEPS, capture=True, capture_rows=(row0, k)
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_full), np.asarray(traj), atol=2e-5, rtol=2e-5
+    )
+    assert all(a.shape[0] == k for a in jax.tree.leaves(stored))
+    out_h, _ = pipe.edit_fast(
+        traj, emb_src, emb_tgt, controller(), num_inference_steps=STEPS,
+        stored=stored, stored_row0=row0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_replay), np.asarray(out_h), atol=5e-4, rtol=5e-4
+    )
+
+
+def test_plan_capture_budget(pipe, latents):
+    """plan_capture: full capture when the budget holds every step's payload;
+    otherwise trimmed to min(window, budget-steps) rows placed so they serve
+    the leading edit steps; None when not even one row fits."""
+    per = pipe.capture_payload_bytes(latents, 1)
+    plan = lambda **kw: pipe.plan_capture(latents, STEPS, **kw)
+    assert plan(window=2, budget_bytes=per * STEPS) == (0, STEPS)
+    assert plan(window=2, budget_bytes=per * 3) == (STEPS - 2, 2)
+    assert plan(window=2, budget_bytes=per * 1) == (STEPS - 1, 1)
+    assert plan(window=2, budget_bytes=per, use_inversion_attention=False) == (0, 1)
+    assert plan(window=2, budget_bytes=per - 1) is None
+
+
 def test_capture_payload_bytes_predicts_actual(pipe, latents, embs):
     """The proactive HBM gate's eval_shape estimate must equal the real
     captured payload size byte-for-byte, and scale linearly in steps
