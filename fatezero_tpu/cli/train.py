@@ -42,6 +42,7 @@ def train(
     lr_warmup_steps: int = 0,
     train_temporal_conv: bool = False,
     use_8bit_adam: bool = False,
+    optimizer: Optional[str] = None,  # "adamw" | "adamw8bit" | "adafactor"
     gradient_checkpointing: bool = False,
     prior_preservation: Optional[float] = None,
     mixed_precision: str = "bf16",
@@ -120,6 +121,7 @@ def train(
         train_steps=train_steps,
         train_temporal_conv=train_temporal_conv,
         use_8bit_adam=use_8bit_adam,
+        optimizer=optimizer,
         prior_preservation=prior_preservation,
     )
     if trainer_pipeline_config and trainer_pipeline_config.get("target"):

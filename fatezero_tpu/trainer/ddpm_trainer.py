@@ -15,8 +15,11 @@ the training wiring of train_tune_a_video.py:49-416:
     UNet3DConfig.gradient_checkpointing, which wraps every down/mid/up block
     in nn.remat (reference unet_3d_blocks.py:308-326).
 
-bitsandbytes 8-bit Adam has no TPU equivalent need: optax.adamw states live
-in HBM; `use_8bit_adam` maps to optax.adafactor as the memory-lean option.
+`use_8bit_adam` wires the true bitsandbytes-parity optimizer: AdamW whose
+moment tensors live as int8 with per-block scales (trainer/adam8bit.py) —
+same update rule, ~4x less optimizer HBM. `optimizer: "adafactor"` remains
+the factored-second-moment alternative (a different update rule, kept as a
+documented option, not the 8-bit default).
 """
 from __future__ import annotations
 
@@ -135,7 +138,8 @@ class DDPMTrainer:
         train_steps: int = 300,
         max_grad_norm: float = 1.0,
         train_temporal_conv: bool = False,
-        use_8bit_adam: bool = False,  # -> adafactor (memory-lean optax analog)
+        use_8bit_adam: bool = False,  # -> int8-state AdamW (bnb AdamW8bit parity)
+        optimizer: Optional[str] = None,  # "adamw" | "adamw8bit" | "adafactor"
         prediction_type: str = "epsilon",
         prior_preservation: Optional[float] = None,
         weight_decay: float = 1e-2,
@@ -151,10 +155,19 @@ class DDPMTrainer:
         self.prior_preservation = prior_preservation
         self.train_temporal_conv = train_temporal_conv
         lr = make_lr_schedule(lr_scheduler, learning_rate, train_steps, lr_warmup_steps)
-        if use_8bit_adam:
+        optimizer = optimizer or ("adamw8bit" if use_8bit_adam else "adamw")
+        if optimizer == "adamw8bit":
+            # the reference's bnb.optim.AdamW8bit (train_tune_a_video.py:172-182):
+            # AdamW semantics, int8 moment storage
+            from fatezero_tpu.trainer.adam8bit import adamw8bit
+
+            inner = adamw8bit(learning_rate=lr, weight_decay=weight_decay)
+        elif optimizer == "adafactor":
             inner = optax.adafactor(learning_rate=lr)
-        else:
+        elif optimizer == "adamw":
             inner = optax.adamw(learning_rate=lr, weight_decay=weight_decay)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         self.tx_inner = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
         self._step_fn = None
         self._run_cache: Dict[Any, Any] = {}
