@@ -36,6 +36,25 @@ from fatezero_tpu.ptp.store import AttentionStore
 VAE_SCALE = 0.18215  # reference p2p_ddim_spatial_temporal.py:96
 
 
+def _physical_bytes(s) -> int:
+    """Tile-padded HBM footprint of one array (TPU T(8,128) layout).
+
+    The last two dims pad to (8 * packing) sublanes x 128 lanes, where
+    packing = 4 // itemsize for sub-word dtypes (bf16 packs 2 rows per
+    sublane, so sublanes pad to 16). Leading dims multiply through.
+    """
+    itemsize = s.dtype.itemsize
+    if len(s.shape) == 0:
+        return itemsize
+    pack = max(1, 4 // itemsize)
+    lane = -(-s.shape[-1] // 128) * 128
+    sub = -(-(s.shape[-2] if len(s.shape) >= 2 else 1) // (8 * pack)) * (8 * pack)
+    lead = 1
+    for d in s.shape[:-2]:
+        lead *= d
+    return lead * sub * lane * itemsize
+
+
 def _blend_maps_16(captured: Dict[str, List], latent_hw: int) -> List:
     """The mid-resolution cross maps the blenders aggregate.
 
@@ -561,6 +580,13 @@ class FateZeroPipeline:
         """Predict `invert_fast(capture=True)`'s stored-payload HBM footprint
         WITHOUT running anything (pure `jax.eval_shape` abstract trace).
 
+        Counts PHYSICAL bytes, not logical: TPU arrays tile-pad their last
+        two dims (sublanes to 8x the dtype packing, lanes to 128), so e.g. a
+        [.., s, 77] bf16 probability store occupies 128/77 = 1.66x its
+        logical size in HBM. Round 4 gated on logical bytes and a 16-frame
+        capture OOMed at compile with the gate green — the padding was the
+        entire gap.
+
         A failed on-device capture is expensive to recover from: the TPU
         runtime spends minutes retrying before raising RESOURCE_EXHAUSTED,
         and the poisoned output arrays keep HBM pinned while they are
@@ -604,7 +630,7 @@ class FateZeroPipeline:
             with seq_mesh_scope(self.mesh):
                 shapes = trace()
         per_step = sum(
-            s.size * s.dtype.itemsize for s in jax.tree.leaves(shapes)
+            _physical_bytes(s) for s in jax.tree.leaves(shapes)
         )
         total = per_step * num_inference_steps
         if per_device and self.mesh is not None:

@@ -46,6 +46,26 @@ def store_key(place: str, is_cross: bool) -> str:
     return f"{place}_{'cross' if is_cross else 'self'}"
 
 
+def merge_heads(x: jax.Array) -> jax.Array:
+    """[..., H, S, D] -> [..., S, H*D]: the at-rest layout for qk payloads.
+
+    A head-split tensor stores D=40 as its minor dim, which the TPU tiles to
+    128 lanes — 3.2x physical HBM for every stored step. Merged, the minor
+    dim is H*D (320 for SD-1.4), which is lane-dense; consumers split heads
+    per step after indexing (a transient transpose XLA fuses into the read).
+    """
+    x = jnp.swapaxes(x, -2, -3)
+    *lead, s, h, d = x.shape
+    return x.reshape(*lead, s, h * d)
+
+
+def split_heads(x: jax.Array, heads: int) -> jax.Array:
+    """[..., S, H*D] -> [..., H, S, D] (inverse of merge_heads)."""
+    *lead, s, hd = x.shape
+    x = x.reshape(*lead, s, heads, hd // heads)
+    return jnp.swapaxes(x, -2, -3)
+
+
 class AttnContext:
     """Interface each controlled attention site calls. Base = no-op."""
 
@@ -115,8 +135,12 @@ class StoreContext(AttnContext):
         k_keep = site_info.get("k_store")
         if k_keep is None:
             k_keep = kh
+        # merged at rest (lane-dense [.., s, h*d]); consumers split per step
         self.captured_qk[store_key(place, False)].append(
-            (qh.astype(self.store_dtype), k_keep.astype(self.store_dtype))
+            (
+                merge_heads(qh).astype(self.store_dtype),
+                merge_heads(k_keep).astype(self.store_dtype),
+            )
         )
         return fused_attention(qh, kh, vh, scale)
 
@@ -500,7 +524,11 @@ class EditContext(StoreContext):
         if p.self_gate is None and not p.self_replace_active:
             return live
         v_cond = vh[-1:]  # [1, f, h, kv, d]
-        q_inj, k_inj = self.injected_qk[key][pos]  # [1, f|n_ref, h, s, d]
+        # stored lane-dense [1, f|n_ref, s, h*d]; split to head layout here
+        q_inj, k_inj = self.injected_qk[key][pos]
+        heads = qh.shape[-3]
+        q_inj = split_heads(q_inj, heads)
+        k_inj = split_heads(k_inj, heads)
         if site_info.get("sparse_meta") is not None:
             # referenced-frame deduped K (StoreContext + Attention k_store):
             # re-gather to the full sparse-causal layout using this site's

@@ -327,11 +327,19 @@ def test_plan_capture_budget(pipe, latents):
 
 def test_capture_payload_bytes_predicts_actual(pipe, latents, embs):
     """The proactive HBM gate's eval_shape estimate must equal the real
-    captured payload size byte-for-byte, and scale linearly in steps
-    (bench.py / cli/edit.py decide capture-vs-replay from it)."""
+    captured payload's PHYSICAL (tile-padded) size byte-for-byte, and scale
+    linearly in steps (bench.py / cli/edit.py decide capture-vs-replay from
+    it). Round 4 gated on logical bytes: a [.., s, 77] bf16 probs store
+    really occupies 128/77 = 1.66x its logical bytes, and a 16-frame capture
+    OOMed at compile with the logical gate green."""
+    from fatezero_tpu.pipelines.fatezero_pipeline import _physical_bytes
+
     emb_src, _ = embs
     predicted = pipe.capture_payload_bytes(latents, STEPS)
     _, stored = pipe.invert_fast(latents, emb_src, STEPS, capture=True)
-    actual = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(stored))
-    assert predicted == actual
+    leaves = jax.tree.leaves(stored)
+    logical = sum(a.size * a.dtype.itemsize for a in leaves)
+    physical = sum(_physical_bytes(a) for a in leaves)
+    assert predicted == physical
+    assert physical > logical  # the 77-lane probs pad is real
     assert pipe.capture_payload_bytes(latents, 2 * STEPS) == 2 * predicted
