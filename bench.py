@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -176,6 +177,7 @@ def main() -> None:
             )
             if rows is None:
                 replay = True
+            print(f"[bench] capture plan: rows={rows}", file=sys.stderr)
 
         def invert():
             if replay:
@@ -192,6 +194,11 @@ def main() -> None:
             if not is_device_oom(e) or replay:
                 raise
             oom = True
+            print(
+                f"[bench] invert-capture rows={rows} hit device OOM; falling "
+                f"back to replay. Cause: {str(e).splitlines()[0][:200]}",
+                file=sys.stderr,
+            )
         if oom:
             # payload + workspace exceeded HBM at this workload: fall back to
             # replay-rematerialization (the stored_attention: false path).
@@ -228,6 +235,11 @@ def main() -> None:
             if not is_device_oom(e) or stored is None:
                 raise
             oom = True
+            print(
+                f"[bench] stored-payload edit hit device OOM; dropping the "
+                f"payload (edit replays). Cause: {str(e).splitlines()[0][:200]}",
+                file=sys.stderr,
+            )
         if oom:  # outside the except: see the inversion fallback above
             import gc
 

@@ -55,6 +55,28 @@ def _physical_bytes(s) -> int:
     return lead * sub * lane * itemsize
 
 
+def _payload_at_rest(extra):
+    """Swap the two minor dims of every captured payload leaf for storage.
+
+    The fused edit's internal layout preference for the stacked payload is
+    lanes = s (qk [.., s, hd] wants physical [.., hd, s]; probs [.., s, 77]
+    want [.., 77, s]) — measured from an on-chip compile dump: with the
+    payload stored row-major in logical orientation, XLA relayouts EVERY
+    leaf into a whole-array HLO-temp copy at the edit entry, so the ~8 GB
+    payload exists twice and a 17.75 G demand OOMs the 15.75 G chip. Stored
+    transposed, the default row-major layout IS the preferred layout: the
+    in-body swapaxes back to logical orientation is a free bitcast, no
+    copies. Bonus: [.., 77, s] is also physically denser than [.., s, 77]
+    (sublanes pad 77->80 instead of lanes 77->128, 1.04x vs 1.66x).
+    """
+    return jax.tree.map(lambda a: jnp.swapaxes(a, -1, -2), extra)
+
+
+def _payload_to_logical(extra):
+    """Inverse of `_payload_at_rest` (applied per step after row indexing)."""
+    return jax.tree.map(lambda a: jnp.swapaxes(a, -1, -2), extra)
+
+
 def _blend_maps_16(captured: Dict[str, List], latent_hw: int) -> List:
     """The mid-resolution cross maps the blenders aggregate.
 
@@ -498,9 +520,10 @@ class FateZeroPipeline:
 
         capture=True additionally returns (traj, stored): the controlled
         sites' payloads as HBM-resident scan-stacked arrays — cross
-        probabilities per step (`stored['probs']`, store layout
-        [steps, 1, f, h, s, 77]) and self-site (q, k) pairs
-        (`stored['qk']`, [steps, f*h, s, d]). The inversion forward IS the
+        probabilities per step (`stored['probs']`, at-rest layout
+        [steps, 1, f, h, 77, s] — minor dims TRANSPOSED, `_payload_at_rest`)
+        and self-site merged (q, k) pairs (`stored['qk']`,
+        [steps, 1, f, h*d, s]). The inversion forward IS the
         edit pass's replay forward (same latent, timestep, params — for both
         use_inversion_attention settings the index algebra lines up), so
         `edit_fast(stored=...)` can skip its replay row entirely: the edit
@@ -537,7 +560,9 @@ class FateZeroPipeline:
                                 self_qk=True,
                             )
                             eps = self.unet.apply(params, lat, t, cond, attn_ctx=sctx)
-                            extra = {"probs": sctx.captured, "qk": sctx.captured_qk}
+                            extra = _payload_at_rest(
+                                {"probs": sctx.captured, "qk": sctx.captured_qk}
+                            )
                         else:
                             eps = self.unet.apply(params, lat, t, cond)
                             extra = {}
@@ -581,11 +606,12 @@ class FateZeroPipeline:
         WITHOUT running anything (pure `jax.eval_shape` abstract trace).
 
         Counts PHYSICAL bytes, not logical: TPU arrays tile-pad their last
-        two dims (sublanes to 8x the dtype packing, lanes to 128), so e.g. a
-        [.., s, 77] bf16 probability store occupies 128/77 = 1.66x its
-        logical size in HBM. Round 4 gated on logical bytes and a 16-frame
-        capture OOMed at compile with the gate green — the padding was the
-        entire gap.
+        two dims (sublanes to 8x the dtype packing, lanes to 128). Round 4
+        gated on logical bytes and a 16-frame capture OOMed at compile with
+        the gate green — the padding was the entire gap. The at-rest
+        transpose (`_payload_at_rest`) makes the big leaves lane-dense, so
+        physical is now within ~5% of logical, but small leaves (8^2 sites,
+        s=64 lanes) still pad 2x — the physical count stays the gate.
 
         A failed on-device capture is expensive to recover from: the TPU
         runtime spends minutes retrying before raising RESOURCE_EXHAUSTED,
@@ -610,7 +636,7 @@ class FateZeroPipeline:
                 self_qk=True,
             )
             self.unet.apply(params, lat, t0, cond, attn_ctx=sctx)
-            return {"probs": sctx.captured, "qk": sctx.captured_qk}
+            return _payload_at_rest({"probs": sctx.captured, "qk": sctx.captured_qk})
 
         def trace():
             return jax.eval_shape(
@@ -880,7 +906,9 @@ class FateZeroPipeline:
 
                 if use_latent_blend:
                     if use_stored:
-                        inj_shapes = jax.tree.map(lambda a: a[0], stored_x["probs"])
+                        inj_shapes = _payload_to_logical(
+                            jax.tree.map(lambda a: a[0], stored_x["probs"])
+                        )
                     else:
                         inj_shapes, _ = jax.eval_shape(
                             capture, traj[0], jnp.int32(timesteps[0])
@@ -983,6 +1011,7 @@ class FateZeroPipeline:
                                 ),
                                 stored_x,
                             )
+                            st = _payload_to_logical(st)  # at-rest is transposed
                             injected, injected_qk = st["probs"], st["qk"]
                         else:
                             injected, injected_qk = capture(rep_lat, x["replay_t"])

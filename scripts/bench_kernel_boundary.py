@@ -7,13 +7,16 @@ naturally emit [B, F, S, H*D] (heads minor), while the shipped kernel folds
 S<->H transpose. XLA-level producer rewrites were measured neutral
 (bench_artifacts/r4_layout_probes.json): the reconciliation just moves.
 
-This probe attacks the boundary ITSELF: variant "hmid" re-declares the
-kernel over 4-D [R, S, H, D] operands with the head axis block-indexed in
-the MIDDLE (BlockSpec (1, bq, 1, d)), so the kernel's required layout is
-exactly the projection output reshaped (free view) — no transpose exists on
-either side. The open question is DMA efficiency: each (1, bq, 1, d) block
-is bq strided segments of d*2 bytes (stride H*D*2), vs the contiguous reads
-the 3-D fold enjoys after paying the transpose.
+This probe attacks the boundary ITSELF: variant "merged" re-declares the
+kernel over 3-D [R, S, H*D] operands — the projection output VERBATIM (no
+reshape, no transpose on either side) — and iterates heads INSIDE the
+kernel as static 40-lane slices of the 320-lane block. (A 4-D heads-mid
+BlockSpec (1, bq, 1, d) is not lowerable: Mosaic requires block[-2] to be
+8-divisible or equal to the array dim, and the head axis is 8 with block 1
+— so in-kernel lane slicing is the only way to consume producer layout.)
+DMA is byte-exact (each Q/KV element fetched once per q-tile, all heads
+served from one block); the open question is the VMEM relayout cost of
+40-lane sub-slices vs the HBM transpose the 3-D fold pays.
 
 Run on a TPU host:
     JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/bench_kernel_boundary.py
@@ -48,82 +51,81 @@ DTYPE = jnp.bfloat16
 BQ, BKV = 1024, 4096
 
 
-def _fwd_call_hmid(q, k, v, scale, block_q, block_kv):
-    """Forward flash call over [R, S, H, D] operands, head axis mid-indexed.
+def _fwd_call_merged(q, k, v, scale, block_q, block_kv, heads):
+    """Forward flash call over [R, S, H*D] operands — producer layout verbatim.
 
-    Identical kernel body to FA._fwd_kernel; only the BlockSpecs change —
-    each program still sees [block_q, d] / [block_kv, d] tiles."""
-    R, sq, h, d = q.shape
+    Same online softmax as FA._fwd_kernel, but the head axis never exists in
+    HBM: each program loads one lane-dense [block_q, H*D] Q tile plus the
+    full [skv, H*D] KV block and statically unrolls heads as 40-lane
+    sub-slices in VMEM. No S<->H transpose exists anywhere in the graph."""
+    R, sq, hd = q.shape
     skv = k.shape[1]
+    d = hd // heads
     block_q = min(block_q, FA._round_up(sq, 128))
     block_kv = min(block_kv, FA._round_up(skv, 128))
-    d_pad = FA._round_up(d, FA.LANES)
     sq_pad = FA._round_up(sq, block_q)
     skv_pad = FA._round_up(skv, block_kv)
 
-    grid = (R, h, sq_pad // block_q)
+    grid = (R, sq_pad // block_q)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, *, scale, d, kv_len, block_kv):
-        # FA._fwd_kernel's online softmax verbatim, reading the mid-axis
-        # head block (refs are [1, rows, 1, d_pad])
-        q = FA._mask_lanes(q_ref[0, :, 0].astype(jnp.float32), d) * scale
-        bq = q.shape[0]
+    def kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, block_kv):
         num_kv = k_ref.shape[1] // block_kv
         needs_mask = kv_len < num_kv * block_kv
-        kv_rows = kv_len if needs_mask else None
+        for h in range(heads):  # static unroll: 40-lane slices of the block
+            qh = q_ref[0][:, h * d:(h + 1) * d].astype(jnp.float32) * scale
+            bq = qh.shape[0]
 
-        def body(i, carry):
-            acc, m, l = carry
-            row0 = i * block_kv
-            kb = FA._mask_block(
-                k_ref[0, pl.ds(row0, block_kv), 0, :].astype(jnp.float32),
-                d, kv_rows, row0,
-            )
-            vb = FA._mask_block(
-                v_ref[0, pl.ds(row0, block_kv), 0, :].astype(jnp.float32),
-                d, kv_rows, row0,
-            )
-            s = jax.lax.dot_general(
-                q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            if needs_mask:
-                col = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < kv_len, s, FA.NEG_INF)
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m - m_new)
-            l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * alpha + jax.lax.dot_general(
-                p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            return acc_new, m_new, l_new
+            def body(i, carry, h=h):
+                acc, m, l = carry
+                row0 = i * block_kv
+                kb = k_ref[0, pl.ds(row0, block_kv), h * d:(h + 1) * d].astype(jnp.float32)
+                vb = v_ref[0, pl.ds(row0, block_kv), h * d:(h + 1) * d].astype(jnp.float32)
+                if needs_mask:  # zero the padded tail rows (garbage in HBM pad)
+                    row = row0 + jax.lax.broadcasted_iota(jnp.int32, kb.shape, 0)
+                    kb = jnp.where(row < kv_len, kb, 0.0)
+                    vb = jnp.where(row < kv_len, vb, 0.0)
+                s = jax.lax.dot_general(
+                    qh, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                if needs_mask:
+                    col = i * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < kv_len, s, FA.NEG_INF)
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+                acc_new = acc * alpha + jax.lax.dot_general(
+                    p, vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                return acc_new, m_new, l_new
 
-        acc = jnp.zeros((bq, v_ref.shape[-1]), jnp.float32)
-        m = jnp.full((bq, 1), FA.NEG_INF, jnp.float32)
-        l = jnp.zeros((bq, 1), jnp.float32)
-        acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m, l))
-        o_ref[0, :, 0] = (acc / l).astype(o_ref.dtype)
+            acc = jnp.zeros((bq, d), jnp.float32)
+            m = jnp.full((bq, 1), FA.NEG_INF, jnp.float32)
+            l = jnp.zeros((bq, 1), jnp.float32)
+            acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc, m, l))
+            o_ref[0, :, h * d:(h + 1) * d] = (acc / l).astype(o_ref.dtype)
 
     out = pl.pallas_call(
-        functools.partial(kernel, scale=scale, d=d, kv_len=skv, block_kv=block_kv),
+        functools.partial(kernel, scale=scale, kv_len=skv, block_kv=block_kv),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d_pad), lambda r, hh, i: (r, i, hh, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, 1, d_pad), lambda r, hh, i: (r, 0, hh, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv_pad, 1, d_pad), lambda r, hh, i: (r, 0, hh, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, hd), lambda r, i: (r, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, hd), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv_pad, hd), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, d_pad), lambda r, hh, i: (r, i, hh, 0), memory_space=pltpu.VMEM
+            (1, block_q, hd), lambda r, i: (r, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((R, sq, h, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, sq, hd), q.dtype),
+        interpret=FA._interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(100e6)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * R * h * sq_pad * skv_pad * 2 * d_pad,
+            flops=2 * R * heads * sq_pad * skv_pad * 2 * d,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
-            transcendentals=R * h * sq_pad * skv_pad,
+            transcendentals=R * heads * sq_pad * skv_pad,
         ),
     )(q, k, v)
-    return out[..., :d]
+    return out
 
 
 def site_ship(x, kv_x, wq, wk, wv, wo, g, b2):
@@ -141,14 +143,14 @@ def site_ship(x, kv_x, wq, wk, wv, wo, g, b2):
     return x + out @ wo
 
 
-def site_hmid(x, kv_x, wq, wk, wv, wo, g, b2):
-    """Boundary-free path: heads stay mid-axis; the kernel indexes them."""
+def site_merged(x, kv_x, wq, wk, wv, wo, g, b2):
+    """Boundary-free path: the kernel consumes projection output verbatim."""
     h = _ln(x, g, b2)
     hk = _ln(kv_x, g, b2)
-    q = (h @ wq).reshape(B * F, S, H, D)
-    k = (hk @ wk).reshape(B * F, KV, H, D)
-    v = (hk @ wv).reshape(B * F, KV, H, D)
-    out = _fwd_call_hmid(q, k, v, D**-0.5, BQ, BKV)
+    q = (h @ wq).reshape(B * F, S, H * D)
+    k = (hk @ wk).reshape(B * F, KV, H * D)
+    v = (hk @ wv).reshape(B * F, KV, H * D)
+    out = _fwd_call_merged(q, k, v, D**-0.5, BQ, BKV, H)
     out = out.reshape(B, F, S, H * D)
     return x + out @ wo
 
@@ -172,7 +174,7 @@ def main():
 
     results = {}
     outs = {}
-    for name, fn in (("ship", site_ship), ("hmid", site_hmid)):
+    for name, fn in (("ship", site_ship), ("merged", site_merged)):
         f = jax.jit(fn)
         o = f(x, kv_x, wq, wk, wv, wo, g, b2)
         o.block_until_ready()
@@ -182,14 +184,14 @@ def main():
             o = f(x, kv_x, wq, wk, wv, wo, g, b2)
         o.block_until_ready()
         results[name] = (time.time() - t0) / n * 1e3  # ms
-    err = float(jnp.max(jnp.abs(outs["ship"] - outs["hmid"])))
+    err = float(jnp.max(jnp.abs(outs["ship"] - outs["merged"])))
     print(
         json.dumps(
             {
                 "site": f"[{B},{F},{S},{C}] H{H} D{D} KV{KV} {DTYPE.__name__}",
                 "ship_ms": round(results["ship"], 3),
-                "hmid_ms": round(results["hmid"], 3),
-                "speedup": round(results["ship"] / results["hmid"], 3),
+                "merged_ms": round(results["merged"], 3),
+                "speedup": round(results["ship"] / results["merged"], 3),
                 "max_abs_diff": err,
             }
         )
