@@ -736,7 +736,10 @@ class FateZeroPipeline:
         steps (past the controller's edit window) run the stored body against
         a clamped payload row whose values are multiplied away by the zero
         alpha/self gates — capture scales to frame counts whose full payload
-        exceeds per-device HBM.
+        exceeds per-device HBM. Each segment compiles as its own jit dispatch
+        (`_build_segment`) so the payload is an argument of only the segments
+        that read it — one whole-edit jit keeps the payload live across the
+        replay middle too and OOMs the 16-frame hybrid at compile.
         """
         steps = num_inference_steps
         use_stored = stored is not None
@@ -878,12 +881,27 @@ class FateZeroPipeline:
                 )
             ),
         )
-        if key not in self._jit_cache:
-            latent_hw = int(traj.shape[-3])
+        latent_hw = int(traj.shape[-3])
+
+        def _build_segment(lo, hi, seg_stored, first):
+            """One scan segment as its OWN jit dispatch.
+
+            Per-segment jits keep the stored payload an argument of only the
+            segments that read it: inside one whole-edit jit the ~8-12 GB
+            payload argument stays live across the replay middle segment too,
+            and the 16-frame hybrid edit compile OOMs (measured on chip:
+            payload arguments + replay-segment temps > 15.75 G). Dispatch
+            overhead is a few ms per extra segment; the single-segment
+            (full-capture / full-replay) graph is the same program as the
+            previous whole-edit jit.
+            """
+            seg_xs = {k2: v[lo:hi] for k2, v in xs.items()}
 
             @jax.jit
-            def run(traj, cond_src, text_emb, guidance, ed, stored_x, params):
-                blend_lats = traj[jnp.asarray(blend_idx)] if use_latent_blend else None
+            def run(traj, cond_src, text_emb, guidance, ed, stored_x, params, carry_in):
+                blend_lats = (
+                    traj[jnp.asarray(blend_idx[lo:hi])] if use_latent_blend else None
+                )
 
                 def capture(lat, t):
                     # self sites capture (q, k) instead of probabilities —
@@ -904,7 +922,10 @@ class FateZeroPipeline:
                     )
                     return sctx.captured, sctx.captured_qk
 
-                if use_latent_blend:
+                if use_latent_blend and first:
+                    # only the first segment builds the blend-sum carry; later
+                    # segments inherit it through carry_in (their stored_x may
+                    # be None or a 1-row tail view)
                     if use_stored:
                         inj_shapes = _payload_to_logical(
                             jax.tree.map(lambda a: a[0], stored_x["probs"])
@@ -1075,41 +1096,58 @@ class FateZeroPipeline:
 
                     return body
 
-                start = traj[steps - t_start]  # noise level of the first used timestep
-                carry = (start, sums0, vsum0)
-                seg_outs = []
-                for lo, hi, seg_stored in segments:
-                    seg_xs = {k2: v[lo:hi] for k2, v in xs.items()}
-                    rep = (
-                        jnp.zeros((hi - lo,))
-                        if seg_stored
-                        else traj[jnp.asarray(replay_idx[lo:hi])]
-                    )
-                    bl = blend_lats[lo:hi] if use_latent_blend else jnp.zeros((hi - lo,))
-                    scan_body = body_inline if inline else make_body(seg_stored)
-                    carry, outs = jax.lax.scan(scan_body, carry, (rep, bl, seg_xs))
-                    seg_outs.append(outs)
-                final, _, vfinal = carry
-                outs = (
-                    seg_outs[0]
-                    if len(seg_outs) == 1
-                    else jax.tree.map(lambda *a: jnp.concatenate(a, 0), *seg_outs)
+                if first:
+                    # noise level of the first used timestep
+                    carry = (traj[steps - t_start], sums0, vsum0)
+                else:
+                    carry = carry_in
+                rep = (
+                    jnp.zeros((hi - lo,))
+                    if seg_stored
+                    else traj[jnp.asarray(replay_idx[lo:hi])]
                 )
-                if viz:
-                    outs["cross_avg"] = vfinal / n_used
-                return final, outs
+                bl = blend_lats if use_latent_blend else jnp.zeros((hi - lo,))
+                scan_body = body_inline if inline else make_body(seg_stored)
+                return jax.lax.scan(scan_body, carry, (rep, bl, seg_xs))
 
-            self._jit_cache[key] = self._traced(run)
+            return self._traced(run)
+
         traj = self._shard_video(traj, frame_axis=2)
-        final, outs = self._jit_cache[key](
-            traj,
-            cond_embeddings[-1:],
-            text_embeddings,
-            jnp.float32(guidance_scale),
-            ed,
-            stored,
-            self.unet_params,
+        carry = jnp.zeros(())  # dummy: the first segment builds its own carry
+        seg_outs = []
+        for si, (lo, hi, seg_stored) in enumerate(segments):
+            skey = key + (lo, hi, seg_stored, si == 0)
+            if skey not in self._jit_cache:
+                self._jit_cache[skey] = _build_segment(lo, hi, seg_stored, si == 0)
+            if not seg_stored:
+                seg_payload = None
+            elif use_stored and lo >= n_stored:
+                # identity-gated tail: every stored contribution is zeroed by
+                # the alpha/self gates (replay_pos is already clamped to 0
+                # here), so a 1-row payload view replaces the full stack —
+                # the tail dispatch holds ~1 row of payload HBM, not all of it
+                seg_payload = jax.tree.map(lambda a: a[:1], stored)
+            else:
+                seg_payload = stored
+            carry, outs = self._jit_cache[skey](
+                traj,
+                cond_embeddings[-1:],
+                text_embeddings,
+                jnp.float32(guidance_scale),
+                ed,
+                seg_payload,
+                self.unet_params,
+                carry,
+            )
+            seg_outs.append(outs)
+        final, _, vfinal = carry
+        outs = (
+            seg_outs[0]
+            if len(seg_outs) == 1
+            else jax.tree.map(lambda *a: jnp.concatenate(a, 0), *seg_outs)
         )
+        if viz:
+            outs["cross_avg"] = vfinal / n_used
         return final, outs
 
     # ------------------------------------------------------------ jit steps
