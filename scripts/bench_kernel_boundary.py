@@ -179,10 +179,19 @@ def main():
         o = f(x, kv_x, wq, wk, wv, wo, g, b2)
         o.block_until_ready()
         outs[name] = o.astype(jnp.float32)
-        n, t0 = 20, time.time()
+        # timing: chain each iteration through the previous output (a real
+        # data dependency the device cannot elide) and synchronize with a
+        # host transfer of a scalar — block_until_ready over the axon relay
+        # returned before device completion and produced physically
+        # impossible numbers (48 us for a ~1.4 TFLOP site, r5_boundary.json
+        # first cut), so wall-per-iter is measured against float(sum(o)).
+        n = 10
+        xi = x
+        float(jnp.sum(f(xi, kv_x, wq, wk, wv, wo, g, b2)))  # settle queue
+        t0 = time.time()
         for _ in range(n):
-            o = f(x, kv_x, wq, wk, wv, wo, g, b2)
-        o.block_until_ready()
+            xi = f(xi, kv_x, wq, wk, wv, wo, g, b2).astype(DTYPE)
+        float(jnp.sum(xi))  # host transfer: true synchronization point
         results[name] = (time.time() - t0) / n * 1e3  # ms
     err = float(jnp.max(jnp.abs(outs["ship"] - outs["merged"])))
     print(
